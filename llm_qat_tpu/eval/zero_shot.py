@@ -1,0 +1,204 @@
+"""Zero-shot multiple-choice evaluation harness.
+
+The reference publishes zero-shot accuracy on 8 common-sense tasks (boolq,
+piqa, siqa, hellaswag, winogrande, arc_easy, arc_challenge, obqa;
+README.md:45-54) but contains no harness — the numbers came from an external
+lm-eval run (SURVEY.md §3.5). This module supplies the capability natively:
+loglikelihood scoring of answer choices under the quantized model, with both
+raw and length-normalized accuracy (lm-eval's ``acc`` / ``acc_norm``).
+
+Batching is TPU-shaped: all (context, choice) rows are right-padded into
+fixed ``[rows_per_batch, max_len]`` buckets so one jitted forward serves the
+whole task; per-row continuation log-probs are gathered with a mask, no
+dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import LlamaConfig
+
+
+@dataclasses.dataclass
+class MCExample:
+    """One multiple-choice item: token ids for the shared context and for
+    each candidate continuation."""
+
+    context: Sequence[int]
+    choices: Sequence[Sequence[int]]
+    gold: int
+
+
+def _logprob_fn(config: LlamaConfig, compute_dtype):
+    """Jitted scorer: rows [b, s], mask [b, s], target-mask [b, s] ->
+    per-row sum and count of target-token logprobs."""
+
+    def fn(params, ids, attn_mask, tgt_mask):
+        logits = llama.forward(
+            params, config, ids, attention_mask=attn_mask, dtype=compute_dtype
+        )
+        logp = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), axis=-1)
+        tgt = ids[:, 1:]
+        row = jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        m = tgt_mask[:, 1:].astype(jnp.float32)
+        return jnp.sum(row * m, axis=-1), jnp.sum(m, axis=-1)
+
+    return jax.jit(fn)
+
+
+def score_examples(
+    params,
+    config: LlamaConfig,
+    examples: Sequence[MCExample],
+    *,
+    batch_rows: int = 16,
+    max_len: Optional[int] = None,
+    compute_dtype=jnp.bfloat16,
+) -> Dict[str, float]:
+    """Score every (context, choice) row, pick argmax per example.
+
+    Returns ``acc`` (raw loglikelihood argmax) and ``acc_norm``
+    (per-token-length normalized, lm-eval convention).
+    """
+    rows: List[np.ndarray] = []
+    row_meta: List[tuple] = []  # (example_idx, choice_idx, ctx_len)
+    for ei, ex in enumerate(examples):
+        for ci, cont in enumerate(ex.choices):
+            ids = list(ex.context) + list(cont)
+            rows.append(np.asarray(ids, np.int32))
+            row_meta.append((ei, ci, len(ex.context)))
+
+    if max_len is None:
+        max_len = max(len(r) for r in rows)
+    n = len(rows)
+    pad_rows = (-n) % batch_rows
+    scores = np.full((len(examples), max(len(e.choices) for e in examples)), -np.inf)
+    norm_scores = np.full_like(scores, -np.inf)
+
+    fn = _logprob_fn(config, compute_dtype)
+    for start in range(0, n, batch_rows):
+        chunk = rows[start : start + batch_rows]
+        meta = row_meta[start : start + batch_rows]
+        b = len(chunk)
+        ids = np.zeros((batch_rows, max_len), np.int32)
+        attn = np.zeros((batch_rows, max_len), np.int32)
+        tmask = np.zeros((batch_rows, max_len), np.int32)
+        for i, (r, (ei, ci, ctx_len)) in enumerate(zip(chunk, meta)):
+            L = min(len(r), max_len)
+            ids[i, :L] = r[:L]
+            attn[i, :L] = 1
+            tmask[i, min(ctx_len, L) : L] = 1
+        s, cnt = fn(params, jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(tmask))
+        s, cnt = np.asarray(s), np.asarray(cnt)
+        for i in range(b):
+            ei, ci, _ = meta[i]
+            scores[ei, ci] = s[i]
+            norm_scores[ei, ci] = s[i] / max(cnt[i], 1)
+
+    golds = np.asarray([e.gold for e in examples])
+    acc = float(np.mean(np.argmax(scores, axis=-1) == golds))
+    acc_norm = float(np.mean(np.argmax(norm_scores, axis=-1) == golds))
+    return {"acc": acc, "acc_norm": acc_norm, "n": len(examples)}
+
+
+# ---------------------------------------------------------------------------
+# Task adapters: raw task jsonl -> MCExample
+# ---------------------------------------------------------------------------
+
+Tokenize = Callable[[str], Sequence[int]]
+
+
+def _mc(tokenize: Tokenize, ctx: str, choices: Sequence[str], gold: int) -> MCExample:
+    # lm-eval convention: continuation carries the leading space; the
+    # context is tokenized alone, the continuation tokens are the suffix of
+    # tokenizing ctx+choice (robust to tokenizers merging at the boundary).
+    ctx_ids = list(tokenize(ctx))
+    conts = []
+    for ch in choices:
+        full = list(tokenize(ctx + ch))
+        conts.append(full[len(ctx_ids):] if full[: len(ctx_ids)] == ctx_ids else tokenize(ch))
+    return MCExample(ctx_ids, conts, gold)
+
+
+def adapt_boolq(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = f"{doc['passage']}\nQuestion: {doc['question']}?\nAnswer:"
+    return _mc(tokenize, ctx, [" no", " yes"], int(doc["answer"]))
+
+
+def adapt_piqa(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = f"Question: {doc['goal']}\nAnswer:"
+    return _mc(tokenize, ctx, [" " + doc["sol1"], " " + doc["sol2"]], int(doc["label"]))
+
+
+def adapt_hellaswag(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = doc["ctx"]
+    return _mc(tokenize, ctx, [" " + e for e in doc["endings"]], int(doc["label"]))
+
+
+def adapt_arc(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = f"Question: {doc['question']}\nAnswer:"
+    labels = doc["choices"]["label"]
+    texts = doc["choices"]["text"]
+    gold = labels.index(doc["answerKey"])
+    return _mc(tokenize, ctx, [" " + t for t in texts], gold)
+
+
+def adapt_winogrande(doc: dict, tokenize: Tokenize) -> MCExample:
+    # winogrande scores the sentence with each option substituted; the
+    # "continuation" is everything after the blank.
+    idx = doc["sentence"].index("_")
+    prefix = doc["sentence"][:idx]
+    suffix = doc["sentence"][idx + 1 :]
+    choices = [doc["option1"], doc["option2"]]
+    gold = int(doc["answer"]) - 1
+    exs = []
+    for opt in choices:
+        exs.append(tokenize(prefix + opt + suffix))
+    ctx0 = []
+    return MCExample(ctx0, exs, gold)
+
+
+def adapt_siqa(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = f"{doc['context']}\nQuestion: {doc['question']}\nAnswer:"
+    choices = [" " + doc["answerA"], " " + doc["answerB"], " " + doc["answerC"]]
+    return _mc(tokenize, ctx, choices, int(doc["label"]) - 1)
+
+
+def adapt_obqa(doc: dict, tokenize: Tokenize) -> MCExample:
+    ctx = doc["question_stem"]
+    labels = doc["choices"]["label"]
+    texts = doc["choices"]["text"]
+    gold = labels.index(doc["answerKey"])
+    return _mc(tokenize, ctx, [" " + t for t in texts], gold)
+
+
+TASK_ADAPTERS = {
+    "boolq": adapt_boolq,
+    "piqa": adapt_piqa,
+    "siqa": adapt_siqa,
+    "hellaswag": adapt_hellaswag,
+    "winogrande": adapt_winogrande,
+    "arc_easy": adapt_arc,
+    "arc_challenge": adapt_arc,
+    "obqa": adapt_obqa,
+}
+
+
+def evaluate_task(
+    params,
+    config: LlamaConfig,
+    task: str,
+    docs: Sequence[dict],
+    tokenize: Tokenize,
+    **kw,
+) -> Dict[str, float]:
+    adapter = TASK_ADAPTERS[task]
+    examples = [adapter(d, tokenize) for d in docs]
+    return score_examples(params, config, examples, **kw)

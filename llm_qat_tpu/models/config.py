@@ -1,0 +1,119 @@
+"""Model configuration.
+
+Reference: models/configuration_llama.py:37-121 (`LlamaConfig`), which adds
+``w_bits``/``a_bits`` to the HF LLaMA config but leaves ``kv_bits`` to be
+monkey-patched at load time (train.py:51-54). Here all three bit-widths are
+declared first-class fields, plus the quantizer granularity / symmetry
+toggles that `QuantizeLinear` exposes (utils_quant.py:169-188), and GQA
+(``num_key_value_heads``) so modern checkpoints (TinyLlama, LLaMA-2/3) load.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    """Static (hashable) model configuration — safe to close over in jit."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: Optional[int] = None  # None => MHA (= num_attention_heads)
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    # Quantization (first-class, unlike the reference's dynamic kv_bits).
+    w_bits: int = 32
+    a_bits: int = 32
+    kv_bits: int = 32
+    symmetric: bool = True        # act quantizer choice (utils_quant.py:184-188)
+    act_layerwise: bool = False   # per-tensor instead of per-token
+    weight_layerwise: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        return self.num_key_value_heads or self.num_attention_heads
+
+    def __post_init__(self):
+        if self.hidden_size % self.num_attention_heads != 0:
+            raise ValueError(
+                f"hidden_size {self.hidden_size} not divisible by "
+                f"num_attention_heads {self.num_attention_heads}"
+            )
+
+    def replace(self, **kw) -> "LlamaConfig":
+        return dataclasses.replace(self, **kw)
+
+    # --- interop with HF config.json --------------------------------------
+
+    @classmethod
+    def from_hf_dict(cls, d: dict, **overrides) -> "LlamaConfig":
+        """Build from a HuggingFace ``config.json`` dict; quantization
+        bit-widths come in via ``overrides`` (the reference injects them into
+        a deep-copied config the same way, train.py:50-54)."""
+        kw = dict(
+            vocab_size=d.get("vocab_size", 32000),
+            hidden_size=d.get("hidden_size", 4096),
+            intermediate_size=d.get("intermediate_size", 11008),
+            num_hidden_layers=d.get("num_hidden_layers", 32),
+            num_attention_heads=d.get("num_attention_heads", 32),
+            num_key_value_heads=d.get("num_key_value_heads"),
+            max_position_embeddings=d.get("max_position_embeddings", 2048),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-6),
+            rope_theta=d.get("rope_theta", 10000.0),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+        )
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def from_json(cls, path: str, **overrides) -> "LlamaConfig":
+        with open(path) as f:
+            return cls.from_hf_dict(json.load(f), **overrides)
+
+
+# Small presets used by tests and the build plan's first milestones.
+TINY_TEST = LlamaConfig(
+    vocab_size=256,
+    hidden_size=64,
+    intermediate_size=128,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    max_position_embeddings=128,
+)
+
+TINYLLAMA_1B = LlamaConfig(
+    vocab_size=32000,
+    hidden_size=2048,
+    intermediate_size=5632,
+    num_hidden_layers=22,
+    num_attention_heads=32,
+    num_key_value_heads=4,
+    max_position_embeddings=2048,
+    rope_theta=10000.0,
+)
+
+LLAMA_7B = LlamaConfig()  # the reference's defaults (configuration_llama.py:84-100)
+
+LLAMA_13B = LlamaConfig(
+    hidden_size=5120, intermediate_size=13824, num_hidden_layers=40,
+    num_attention_heads=40,
+)
+
+LLAMA_30B = LlamaConfig(
+    hidden_size=6656, intermediate_size=17920, num_hidden_layers=60,
+    num_attention_heads=52,
+)

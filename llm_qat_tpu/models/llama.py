@@ -1,0 +1,358 @@
+"""Quantized LLaMA decoder — functional JAX implementation.
+
+TPU-native re-design of the reference model
+(models/modeling_llama_quant.py). Differences in *architecture*, parity in
+*numerics*:
+
+  * params are a plain pytree with the per-layer weights **stacked on a
+    leading layer axis** and the decoder swept with ``jax.lax.scan`` — one
+    trace/compile of the layer regardless of depth, and the stacked leaves
+    shard naturally over an ``fsdp`` mesh axis;
+  * weights are stored ``[in, out]`` so the hot path is ``x @ w`` on the MXU
+    with no transposes;
+  * rematerialization is ``jax.checkpoint`` on the scan body (reference uses
+    ``torch.utils.checkpoint`` per layer, modeling_llama_quant.py:732-747);
+  * GQA (``num_key_value_heads``) is supported so TinyLlama/LLaMA-2 load.
+
+Numerics kept bit-faithful to the reference:
+  * every projection (q/k/v/o/gate/up/down) is `quant_dense` — per-channel
+    symmetric weight fake-quant, per-token activation fake-quant
+    (modeling_llama_quant.py:262-289, :210-230 via utils_quant.py:165-255);
+  * KV fake-quant is applied to the *flat* ``[b, s, kv_dim]`` projections
+    BEFORE head reshape, BEFORE RoPE, BEFORE cache concat
+    (modeling_llama_quant.py:320-333);
+  * RMSNorm accumulates in fp32 (modeling_llama_quant.py:122-123), softmax
+    is fp32 (modeling_llama_quant.py:372-375), RoPE caches fp32 cos/sin;
+  * embeddings, lm_head, and norm scales are never quantized
+    (modeling_llama_quant.py:581-583, :793).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.models.config import LlamaConfig
+from llm_qat_tpu.ops.linear import quant_dense
+from llm_qat_tpu.ops.quantize import kv_fake_quant
+
+Params = Dict[str, Any]
+
+_NEG_INF = -1e9  # additive mask value; fp32-softmax-safe
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    config: LlamaConfig, key: jax.Array, dtype=jnp.float32
+) -> Params:
+    """Random init (normal(0, 0.02) like the reference's `_init_weights`,
+    modeling_llama_quant.py:497-505). Layer weights are stacked on axis 0."""
+    c = config
+    hd, nh, kvh = c.head_dim, c.num_attention_heads, c.kv_heads
+    L = c.num_hidden_layers
+    keys = jax.random.split(key, 10)
+
+    def w(k, shape):
+        return (jax.random.normal(k, shape) * 0.02).astype(dtype)
+
+    params: Params = {
+        "embed": w(keys[0], (c.vocab_size, c.hidden_size)),
+        "layers": {
+            "attn_norm": jnp.ones((L, c.hidden_size), dtype),
+            "q": w(keys[1], (L, c.hidden_size, nh * hd)),
+            "k": w(keys[2], (L, c.hidden_size, kvh * hd)),
+            "v": w(keys[3], (L, c.hidden_size, kvh * hd)),
+            "o": w(keys[4], (L, nh * hd, c.hidden_size)),
+            "mlp_norm": jnp.ones((L, c.hidden_size), dtype),
+            "gate": w(keys[5], (L, c.hidden_size, c.intermediate_size)),
+            "up": w(keys[6], (L, c.hidden_size, c.intermediate_size)),
+            "down": w(keys[7], (L, c.intermediate_size, c.hidden_size)),
+        },
+        "final_norm": jnp.ones((c.hidden_size,), dtype),
+    }
+    if not c.tie_word_embeddings:
+        params["lm_head"] = w(keys[8], (c.hidden_size, c.vocab_size))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    """RMSNorm with fp32 accumulation (modeling_llama_quant.py:112-129)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(dtype) * scale
+
+
+def rope_cos_sin(
+    positions: jax.Array, head_dim: int, theta: float
+) -> Tuple[jax.Array, jax.Array]:
+    """fp32 cos/sin tables for the given absolute positions ``[b, s]``.
+
+    Matches LlamaRotaryEmbedding (modeling_llama_quant.py:132-178):
+    ``inv_freq = theta^(-2i/d)``, table is ``concat(freqs, freqs)``.
+    Returns ``[b, s, head_dim]`` each.
+    """
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim)
+    )
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq  # [b, s, d/2]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate-half RoPE (modeling_llama_quant.py:181-196). ``x`` is
+    ``[b, s, heads, head_dim]``; cos/sin ``[b, s, head_dim]``."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[:, :, None, :].astype(x.dtype)
+    s = sin[:, :, None, :].astype(x.dtype)
+    return x * c + rotated * s
+
+
+def _attend(
+    q: jax.Array,  # [b, s_q, nh, hd]
+    k: jax.Array,  # [b, s_kv, kvh, hd]
+    v: jax.Array,  # [b, s_kv, kvh, hd]
+    mask: jax.Array,  # [b, 1, s_q, s_kv] additive (0 or -inf)
+) -> jax.Array:
+    """Scaled dot-product attention with fp32 softmax, full score matrix
+    (modeling_llama_quant.py:352-377). GQA via head-group einsum — the kv
+    head dim stays un-repeated so no materialized repeat_kv copy."""
+    b, s_q, nh, hd = q.shape
+    kvh = k.shape[2]
+    groups = nh // kvh
+    qg = q.reshape(b, s_q, kvh, groups, hd)
+    # scores: [b, kvh, groups, s_q, s_kv]
+    acc_t = jnp.promote_types(q.dtype, jnp.float32)
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=acc_t)
+    scores = scores / jnp.sqrt(hd).astype(scores.dtype)
+    scores = scores + mask[:, :, None, :, :]
+    probs = jax.nn.softmax(scores.astype(acc_t), axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v,
+        preferred_element_type=acc_t,
+    )
+    return out.reshape(b, s_q, nh * hd).astype(q.dtype)
+
+
+def decoder_layer(
+    h: jax.Array,
+    lp: Params,
+    config: LlamaConfig,
+    mask: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
+    cache_index: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
+    """One decoder block (modeling_llama_quant.py:396-469).
+
+    With ``cache_kv=(k_cache, v_cache)`` of shape ``[b, max_len, kvh, hd]``
+    the new (quantized, RoPE'd) K/V are written at ``cache_index`` and
+    attention runs over the full cache; without, it is the training path.
+    """
+    c = config
+    b, s, _ = h.shape
+    hd, nh, kvh = c.head_dim, c.num_attention_heads, c.kv_heads
+    qd = dict(
+        w_bits=c.w_bits, a_bits=c.a_bits, symmetric=c.symmetric,
+        act_layerwise=c.act_layerwise, weight_layerwise=c.weight_layerwise,
+    )
+
+    # --- attention ---
+    x = rms_norm(h, lp["attn_norm"], c.rms_norm_eps)
+    q = quant_dense(x, lp["q"], **qd)
+    k = quant_dense(x, lp["k"], **qd)
+    v = quant_dense(x, lp["v"], **qd)
+
+    # KV-cache fake-quant at the reference's exact hook point: flat [b, s,
+    # kv_dim], pre-reshape, pre-RoPE, pre-cache (modeling_llama_quant.py:320-333).
+    k = kv_fake_quant(k, c.kv_bits)
+    v = kv_fake_quant(v, c.kv_bits)
+
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, kvh, hd)
+    v = v.reshape(b, s, kvh, hd)
+
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    new_cache = None
+    if cache_kv is not None:
+        k_cache, v_cache = cache_kv
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, cache_index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, cache_index, 0, 0))
+        k, v = k_cache, v_cache
+        new_cache = (k_cache, v_cache)
+
+    attn = _attend(q, k, v, mask)
+    attn = quant_dense(attn, lp["o"], **qd)
+    h = h + attn
+
+    # --- MLP (modeling_llama_quant.py:200-235: down(silu(gate(x)) * up(x))) ---
+    x = rms_norm(h, lp["mlp_norm"], c.rms_norm_eps)
+    gate = quant_dense(x, lp["gate"], **qd)
+    up = quant_dense(x, lp["up"], **qd)
+    x = quant_dense(jax.nn.silu(gate) * up, lp["down"], **qd)
+    return h + x, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full forward (training / scoring path)
+# ---------------------------------------------------------------------------
+
+
+def causal_mask(
+    b: int, s: int, attention_mask: Optional[jax.Array], dtype=jnp.float32
+) -> jax.Array:
+    """Additive ``[b, 1, s, s]`` mask: causal, optionally combined with a
+    ``[b, s]`` padding mask (modeling_llama_quant.py:60-109, :601-628)."""
+    causal = jnp.tril(jnp.ones((s, s), jnp.bool_))
+    m = causal[None, None, :, :]
+    if attention_mask is not None:
+        pad = attention_mask.astype(jnp.bool_)[:, None, None, :]
+        m = m & pad
+    return jnp.where(m, 0.0, _NEG_INF).astype(dtype)
+
+
+def _logits(params: Params, config: LlamaConfig, h: jax.Array) -> jax.Array:
+    h = rms_norm(h, params["final_norm"], config.rms_norm_eps)
+    head = (
+        params["embed"].T if config.tie_word_embeddings else params["lm_head"]
+    )
+    # lm_head is a plain fp Linear in the reference (modeling_llama_quant.py:793)
+    acc_t = jnp.promote_types(h.dtype, jnp.float32)
+    return jnp.matmul(h, head.astype(h.dtype), preferred_element_type=acc_t)
+
+
+def forward(
+    params: Params,
+    config: LlamaConfig,
+    input_ids: jax.Array,  # [b, s] int32
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [b, s] 1=keep
+    positions: Optional[jax.Array] = None,  # [b, s] absolute positions
+    remat: bool = False,
+    dtype=None,
+) -> jax.Array:
+    """Full-sequence forward returning fp32 logits ``[b, s, vocab]``.
+
+    The 32-layer sweep of the reference (modeling_llama_quant.py:724-756)
+    becomes a single ``lax.scan`` over stacked layer params; ``remat=True``
+    wraps the body in ``jax.checkpoint`` (reference's gradient checkpointing,
+    run_train.sh:36).
+    """
+    c = config
+    b, s = input_ids.shape
+    h = jnp.take(params["embed"], input_ids, axis=0)
+    if dtype is not None:
+        h = h.astype(dtype)
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+    mask = causal_mask(b, s, attention_mask, dtype=jnp.float32)
+
+    def body(h, lp):
+        out, _ = decoder_layer(h, lp, c, mask, cos, sin)
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    return _logits(params, c, h)
+
+
+def causal_lm_loss(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100
+) -> jax.Array:
+    """Shifted next-token cross-entropy (modeling_llama_quant.py:884-895):
+    mean over valid positions of ``-log p(labels[1:] | logits[:-1])``."""
+    logits = logits[:, :-1, :]
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    )
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(
+        jnp.sum(valid), 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# KV-cache decode path (generation)
+# ---------------------------------------------------------------------------
+
+
+def init_cache(
+    config: LlamaConfig, batch: int, max_len: int, dtype=jnp.float32
+) -> Dict[str, jax.Array]:
+    """Fixed-size stacked KV cache. Holds the *fake-quantized*, RoPE'd K and
+    quantized V exactly as the reference caches them
+    (modeling_llama_quant.py:345-350). ``index`` is the write position."""
+    c = config
+    shape = (c.num_hidden_layers, batch, max_len, c.kv_heads, c.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+        "index": jnp.zeros((), jnp.int32),
+    }
+
+
+def forward_with_cache(
+    params: Params,
+    config: LlamaConfig,
+    input_ids: jax.Array,  # [b, s] — prompt chunk or single decode token
+    cache: Dict[str, jax.Array],
+    *,
+    dtype=None,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Run ``s`` new tokens against the cache (prefill when ``index==0``,
+    decode when ``s==1``). Returns fp32 logits ``[b, s, vocab]`` and the
+    updated cache. Shapes are static; the current length lives in
+    ``cache['index']`` so this jits once per ``s``."""
+    c = config
+    b, s = input_ids.shape
+    max_len = cache["k"].shape[2]
+    index = cache["index"]
+
+    h = jnp.take(params["embed"], input_ids, axis=0)
+    if dtype is not None:
+        h = h.astype(dtype)
+    positions = index + jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
+    cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
+
+    # additive mask over the fixed-size cache: key j visible to query i iff
+    # j < index + i + 1  (causal over absolute positions)
+    kv_pos = jnp.arange(max_len, dtype=jnp.int32)
+    visible = kv_pos[None, None, None, :] <= positions[:, None, :, None]
+    mask = jnp.where(visible, 0.0, _NEG_INF).astype(jnp.float32)
+
+    def body(h, xs):
+        lp, k_cache, v_cache = xs
+        out, new_kv = decoder_layer(
+            h, lp, c, mask, cos, sin,
+            cache_kv=(k_cache, v_cache), cache_index=index,
+        )
+        return out, new_kv
+
+    h, (new_k, new_v) = jax.lax.scan(
+        body, h, (params["layers"], cache["k"], cache["v"])
+    )
+    logits = _logits(params, c, h)
+    return logits, {"k": new_k, "v": new_v, "index": index + s}

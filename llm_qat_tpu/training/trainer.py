@@ -1,0 +1,285 @@
+"""KD-QAT trainer — optax/pjit replacement for the reference's `KDTrainer`.
+
+Reference: utils/kd_trainer.py:38-288 (HF `Trainer` subclass) + train.py:42-149
+(entry point) + run_train.sh:8-43 (canonical hyperparams). What torch FSDP,
+apex, fairscale and the HF loop did imperatively is here one jitted,
+mesh-sharded train step:
+
+  * loss = ``kd_loss_scale * KL(student || teacher)`` with *batchmean*
+    reduction — sum over sequence and vocab divided by batch size only, and
+    NO ground-truth CE term during training (kd_trainer.py:42-48, :71-79);
+  * teacher forward under ``stop_gradient`` (kd_trainer.py:55-60's
+    ``no_grad``), teacher params carried outside the optimizer state — the
+    analog of FSDP ``ignored_modules=[teacher]`` (kd_trainer.py:251-253) is
+    simply that the teacher is a separate frozen pytree;
+  * optimizer: AdamW (optim="adamw_torch", process_args.py:73) with global
+    grad-norm clip 1.0 (HF default the reference inherits), cosine decay
+    from lr 2e-5 with no warmup (run_train.sh:30-33);
+  * remat on the decoder scan body = --gradient_checkpointing
+    (run_train.sh:36);
+  * sharding: params/grads/Adam state over the ('data','fsdp','tp') mesh via
+    NamedSharding — the ZeRO-3 behavior of run_train.sh:42-43.
+
+Eval is the HF default path (label CE -> perplexity), train.py:131-143.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import LlamaConfig
+from llm_qat_tpu.parallel import mesh as pmesh
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Canonical QAT recipe (run_train.sh:8-43 + HF Trainer defaults)."""
+
+    learning_rate: float = 2e-5
+    total_steps: int = 1000
+    warmup_steps: int = 0              # --warmup_ratio default 0
+    weight_decay: float = 0.0          # HF default
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    max_grad_norm: float = 1.0         # HF default, not overridden
+    lr_schedule: str = "cosine"        # --lr_scheduler_type cosine
+    kd_loss_scale: float = 1.0         # process_args.py:84
+    use_kd: bool = True
+    grad_accum_steps: int = 1
+    remat: bool = True                 # --gradient_checkpointing True
+    compute_dtype: Any = jnp.bfloat16  # --bf16 True
+    kl_chunk: int = 0                  # >0: chunk seq dim of the KL to bound
+                                       # the fp32 [b,s,V] logits memory
+                                       # (SURVEY.md §7 hard parts)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def kd_kl_loss(
+    student_logits: jax.Array,
+    teacher_logits: jax.Array,
+    chunk: int = 0,
+) -> jax.Array:
+    """``F.kl_div(log_softmax(S,2), softmax(T,2), reduction="batchmean")``
+    (kd_trainer.py:42-48): sum over (seq, vocab) of ``p_T (log p_T - log
+    p_S)``, divided by the *batch size only*.
+
+    ``chunk>0`` evaluates the reduction in sequence chunks under ``lax.map``
+    so only a ``[b, chunk, V]`` fp32 slab is live at once.
+    """
+    b = student_logits.shape[0]
+
+    def kl_sum(s, t):
+        acc_t = jnp.promote_types(s.dtype, jnp.float32)
+        ls = jax.nn.log_softmax(s.astype(acc_t), axis=-1)
+        lt = jax.nn.log_softmax(t.astype(acc_t), axis=-1)
+        pt = jnp.exp(lt)
+        return jnp.sum(pt * (lt - ls))
+
+    if chunk and student_logits.shape[1] % chunk == 0:
+        n = student_logits.shape[1] // chunk
+        s = student_logits.reshape(b, n, chunk, -1).swapaxes(0, 1)
+        t = teacher_logits.reshape(b, n, chunk, -1).swapaxes(0, 1)
+        total = jnp.sum(jax.lax.map(lambda st: kl_sum(*st), (s, t)))
+    else:
+        total = kl_sum(student_logits, teacher_logits)
+    return total / b
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule
+# ---------------------------------------------------------------------------
+
+
+def make_schedule(cfg: TrainConfig) -> optax.Schedule:
+    if cfg.lr_schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if cfg.warmup_steps else cfg.learning_rate,
+            peak_value=cfg.learning_rate,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=cfg.total_steps,
+            end_value=0.0,
+        )
+    if cfg.lr_schedule == "constant":
+        return optax.constant_schedule(cfg.learning_rate)
+    if cfg.lr_schedule == "linear":
+        return optax.linear_schedule(
+            cfg.learning_rate, 0.0, cfg.total_steps - cfg.warmup_steps
+        )
+    raise ValueError(f"unknown schedule {cfg.lr_schedule}")
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adamw(
+            make_schedule(cfg),
+            b1=cfg.adam_b1,
+            b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train / eval steps
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(
+    model_cfg: LlamaConfig,
+    teacher_cfg: LlamaConfig,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+) -> Callable:
+    """Build the fused KD-QAT step: teacher fwd + student fwd/bwd + clip +
+    AdamW update, one jit. The teacher forward sits *outside* the student's
+    remat scope so it is never recomputed in the backward pass (SURVEY.md §7
+    "Two-model step under remat")."""
+
+    def step(
+        state: TrainState,
+        teacher_params: Any,
+        batch: Dict[str, jax.Array],
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        ids = batch["input_ids"]
+        mask = batch.get("attention_mask")
+
+        teacher_logits = jax.lax.stop_gradient(
+            llama.forward(
+                teacher_params, teacher_cfg, ids,
+                attention_mask=mask, dtype=train_cfg.compute_dtype,
+            )
+        )
+
+        def loss_fn(params):
+            student_logits = llama.forward(
+                params, model_cfg, ids,
+                attention_mask=mask,
+                remat=train_cfg.remat,
+                dtype=train_cfg.compute_dtype,
+            )
+            if train_cfg.use_kd:
+                loss = train_cfg.kd_loss_scale * kd_kl_loss(
+                    student_logits, teacher_logits, train_cfg.kl_chunk
+                )
+            else:
+                loss = llama.causal_lm_loss(student_logits, batch["labels"])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if train_cfg.grad_accum_steps > 1:
+            loss = loss / train_cfg.grad_accum_steps
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    return step
+
+
+def make_eval_step(model_cfg: LlamaConfig, compute_dtype=jnp.bfloat16) -> Callable:
+    """Eval = label CE (the reference evaluates with the *default* HF loss,
+    not the KD loss — SURVEY.md §3.5); perplexity = exp(mean loss)."""
+
+    def step(params, batch):
+        logits = llama.forward(
+            params, model_cfg, batch["input_ids"],
+            attention_mask=batch.get("attention_mask"),
+            dtype=compute_dtype,
+        )
+        return llama.causal_lm_loss(logits, batch["labels"])
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Sharded setup
+# ---------------------------------------------------------------------------
+
+
+def init_train_state(
+    params: Any, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+) -> TrainState:
+    """Init optimizer state; under a mesh, jit propagates the params'
+    NamedShardings into mu/nu so Adam state is sharded like the params
+    (ZeRO-3: optimizer state lives on the fsdp axis)."""
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+
+
+def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:
+    s = NamedSharding(mesh, pmesh.batch_spec())
+    return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+class Trainer:
+    """Minimal orchestration wrapper (the HF-`Trainer`-shaped surface):
+    holds state, steps batches, evaluates perplexity, checkpoints via
+    `llm_qat_tpu.utils.checkpoint`."""
+
+    def __init__(
+        self,
+        model_cfg: LlamaConfig,
+        train_cfg: TrainConfig,
+        params: Any,
+        teacher_params: Any = None,
+        teacher_cfg: Optional[LlamaConfig] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.mesh = mesh
+        if mesh is not None:
+            params = pmesh.shard_params(params, mesh)
+            if teacher_params is not None:
+                teacher_params = pmesh.shard_params(teacher_params, mesh)
+        self.teacher_params = teacher_params
+        self.teacher_cfg = teacher_cfg or model_cfg.replace(
+            w_bits=32, a_bits=32, kv_bits=32
+        )
+        self.tx = make_optimizer(train_cfg)
+        self.state = init_train_state(params, self.tx, mesh)
+        self._step = jax.jit(
+            make_train_step(model_cfg, self.teacher_cfg, train_cfg, self.tx),
+            donate_argnums=(0,),
+        )
+        self._eval = jax.jit(make_eval_step(model_cfg, train_cfg.compute_dtype))
+
+    def train_step(self, batch: Dict[str, jax.Array]) -> Dict[str, float]:
+        if self.mesh is not None:
+            batch = shard_batch(batch, self.mesh)
+        self.state, metrics = self._step(self.state, self.teacher_params, batch)
+        return metrics
+
+    def evaluate(self, batches) -> Dict[str, float]:
+        losses = []
+        for batch in batches:
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            losses.append(self._eval(self.state.params, batch))
+        mean = float(jnp.mean(jnp.stack(losses)))
+        return {"eval_loss": mean, "perplexity": float(jnp.exp(mean))}
