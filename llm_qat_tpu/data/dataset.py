@@ -144,7 +144,11 @@ def get_train_val_datasets(
 
 
 def load_tokenizer(path: str):
-    """SentencePiece LLaMA tokenizer via HF (train.py:90-96); host-side."""
+    """SentencePiece LLaMA tokenizer via HF (train.py:90-96); host-side.
+    ``path == "byte"`` returns the built-in byte-level tokenizer."""
+    if path == "byte":
+        tok = ByteTokenizer()
+        return tok, tok.encode
     from transformers import AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(path, use_fast=True)
@@ -153,3 +157,24 @@ def load_tokenizer(path: str):
         return tok(text).input_ids
 
     return tok, tokenize
+
+
+class ByteTokenizer:
+    """Trivial byte-level tokenizer for smoke tests and CI: ids = UTF-8
+    bytes + 3 (reserving 0/1/2 for pad/bos/eos like SentencePiece LLaMA)."""
+
+    vocab_size = 259
+    bos_token_id = 1
+    eos_token_id = 2
+
+    def encode(self, text: str):
+        return [self.bos_token_id] + [b + 3 for b in text.encode("utf-8")]
+
+    def __call__(self, text: str):
+        import types
+
+        return types.SimpleNamespace(input_ids=self.encode(text))
+
+    def decode(self, ids, skip_special_tokens: bool = True):
+        data = bytes(i - 3 for i in ids if i >= 3)
+        return data.decode("utf-8", errors="replace")

@@ -38,6 +38,8 @@ class CheckpointManager:
         return self._mngr.save(step, args=ocp.args.StandardSave(state))
 
     def save(self, step: int, state: Any) -> bool:
+        if step in self._mngr.all_steps():
+            return False  # interval save already wrote this step
         return self._mngr.save(
             step, args=ocp.args.StandardSave(state), force=True
         )

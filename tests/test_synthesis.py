@@ -1,0 +1,106 @@
+"""Data-free synthesis tests (C11/C12 semantics)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.data import synthesis as S
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+
+
+CFG = TINY_TEST
+PARAMS = llama.init_params(CFG, jax.random.PRNGKey(0))
+
+
+def detok(ids):
+    return " ".join(str(i) for i in ids)
+
+
+def test_generate_batch_greedy_prefix_matches_argmax_rollout():
+    """First j positions (after the start token) must equal a pure greedy
+    rollout regardless of the sampling key."""
+    starts = jnp.asarray([5, 9], jnp.int32)
+    a = np.asarray(
+        S.generate_batch(
+            PARAMS, CFG, starts, jax.random.PRNGKey(1),
+            greedy_len=4, total_len=8, dtype=jnp.float32,
+        )
+    )
+    b = np.asarray(
+        S.generate_batch(
+            PARAMS, CFG, starts, jax.random.PRNGKey(999),
+            greedy_len=4, total_len=8, dtype=jnp.float32,
+        )
+    )
+    np.testing.assert_array_equal(a[:, :4], b[:, :4])
+    assert a.shape == (2, 8)
+
+    # manual greedy rollout via cached decode
+    cache = llama.init_cache(CFG, 1, 8, dtype=jnp.float32)
+    ids = jnp.asarray([[5]], jnp.int32)
+    seq = [5]
+    for _ in range(3):
+        logits, cache = llama.forward_with_cache(
+            PARAMS, CFG, ids, cache, dtype=jnp.float32
+        )
+        ids = jnp.argmax(logits[:, -1:], -1).astype(jnp.int32)
+        seq.append(int(ids[0, 0]))
+    np.testing.assert_array_equal(a[0, :4], seq)
+
+
+def test_generate_batch_deterministic_same_key():
+    starts = jnp.asarray([3], jnp.int32)
+    a = S.generate_batch(PARAMS, CFG, starts, jax.random.PRNGKey(7),
+                         greedy_len=3, total_len=10, dtype=jnp.float32)
+    b = S.generate_batch(PARAMS, CFG, starts, jax.random.PRNGKey(7),
+                         greedy_len=3, total_len=10, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eos_truncation():
+    row = np.asarray([5, 1, 2, 9, 2, 4])
+    np.testing.assert_array_equal(S._truncate_at_eos(row, 2), [5, 1])
+    np.testing.assert_array_equal(S._truncate_at_eos(row, 99), row)
+    np.testing.assert_array_equal(S._truncate_at_eos(row, None), row)
+
+
+def test_synthesize_shard_and_resume(tmp_path):
+    out = str(tmp_path / "gen")
+    kw = dict(
+        detokenize=detok, n_vocab_per_shard=6, batch_size=4,
+        total_len=6, eos_id=None, dtype=jnp.float32,
+    )
+    p = S.synthesize_shard(PARAMS, CFG, 1, out, **kw)
+    assert os.path.basename(p) == "gen.chunk.01.jsonl"
+    lines = open(p).read().splitlines()
+    # 3 greedy lengths x 6 start ids
+    assert len(lines) == 18
+    first_doc = json.loads(lines[0])
+    # shard 1 covers start ids 6..11 (generate_data.py:22 analog)
+    assert first_doc["text"].split()[0] == "6"
+
+    # resume: truncate the file, re-run, must regain exactly the missing lines
+    with open(p, "w") as f:
+        f.write("\n".join(lines[:7]) + "\n")
+    S.synthesize_shard(PARAMS, CFG, 1, out, **kw)
+    lines2 = open(p).read().splitlines()
+    assert len(lines2) == 18
+    assert lines2[:7] == lines[:7]
+    # greedy-deterministic rows must reproduce identically; row 7 is within
+    # the j=4 block whose first 4 columns are greedy
+    assert json.loads(lines2[7])["text"].split()[:4] == json.loads(lines[7])["text"].split()[:4]
+
+
+def test_merge_shards(tmp_path):
+    d = str(tmp_path)
+    for i, n in [(0, 2), (1, 3)]:
+        with open(os.path.join(d, f"gen.chunk.{i:02d}.jsonl"), "w") as f:
+            for k in range(n):
+                f.write(json.dumps({"text": f"{i}-{k}"}) + "\n")
+    out = S.merge_shards(d)
+    lines = [json.loads(l)["text"] for l in open(out)]
+    assert lines == ["0-0", "0-1", "1-0", "1-1", "1-2"]
