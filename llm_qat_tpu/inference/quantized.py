@@ -1,0 +1,97 @@
+"""True low-bit inference parameters and linear ops.
+
+The reference has no inference engine — QAT checkpoints hold latent fp
+weights and fake-quant recomputes integers every forward (SURVEY.md §5
+"Checkpoint/resume"). The north star asks for a real one: materialized
+int8 / packed-int4 weights + per-channel scales driving MXU integer matmuls
+(ops/pallas/quant_matmul.py), with the quantized KV cache in int8 + scales.
+
+`quantize_params` consumes the same pytree the trainer produces, so a QAT
+run exports straight into serving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.models.config import LlamaConfig
+from llm_qat_tpu.ops.pallas import quant_matmul as QM
+
+_PROJ_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_params(params: Dict[str, Any], config: LlamaConfig) -> Dict[str, Any]:
+    """Latent-fp pytree -> serving pytree.
+
+    Every projection becomes ``{"q": int8/packed-uint4 [.., K(,/2), N],
+    "s": f32 [.., 1, N]}`` quantized per output channel at ``config.w_bits``;
+    embeddings / lm_head / norm scales stay fp (they are unquantized in the
+    reference too, modeling_llama_quant.py:581-583, :793).
+    """
+    w_bits = config.w_bits
+    if w_bits not in (4, 8, 16, 32):
+        raise NotImplementedError(f"serving w_bits {w_bits}")
+
+    out: Dict[str, Any] = {
+        "embed": params["embed"],
+        "final_norm": params["final_norm"],
+        "layers": {
+            "attn_norm": params["layers"]["attn_norm"],
+            "mlp_norm": params["layers"]["mlp_norm"],
+        },
+    }
+    if "lm_head" in params:
+        out["lm_head"] = params["lm_head"]
+
+    for key in _PROJ_KEYS:
+        w = params["layers"][key]  # [L, K, N]
+        if w_bits >= 16:
+            out["layers"][key] = {"w": w}
+            continue
+        if w_bits == 8:
+            q, s = jax.vmap(lambda wl: QM.quantize_per_channel(wl, 8))(w)
+        else:  # 4
+            q, s = jax.vmap(QM.quantize_weights_w4)(w)
+        out["layers"][key] = {"q": q, "s": s}
+    return out
+
+
+def quant_linear(
+    x: jax.Array,           # [..., K] fp
+    qw: Dict[str, jax.Array],
+    w_bits: int,
+    a_bits: int = 8,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Serving linear: int MXU matmul when quantized, plain matmul else.
+    Leading dims are flattened into the row dim for the kernel."""
+    if "w" in qw:  # unquantized
+        return jnp.matmul(x, qw["w"].astype(x.dtype))
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    x2 = x.reshape(-1, K)
+    if w_bits == 8:
+        out = QM.w8a8_matmul(x2, qw["q"], qw["s"], out_dtype=out_dtype)
+    else:
+        out = QM.w4a8_matmul(x2, qw["q"], qw["s"], out_dtype=out_dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Quantized KV cache (int8 values + per-token scales)
+# ---------------------------------------------------------------------------
+
+
+def quantize_kv(x: jax.Array, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
+    """[b, s, kv_dim] -> (int8 [b, s, kv_dim], scales [b, s, 1]) — the
+    serving materialization of the per-token KV fake-quant
+    (modeling_llama_quant.py:320-333)."""
+    return QM.quantize_per_token(x, bits)
+
+
+def dequantize_kv(q: jax.Array, s: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    return (q.astype(jnp.float32) / (s + 1e-6)).astype(dtype)

@@ -1,0 +1,145 @@
+"""Inference engine tests: true-int serving numerics vs the fake-quant
+training model, ragged decode correctness, continuous-batching scheduler
+invariance."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.inference import engine as E
+from llm_qat_tpu.inference import model as M
+from llm_qat_tpu.inference import quantized as Q
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+
+
+CFG = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+PARAMS = llama.init_params(CFG, jax.random.PRNGKey(0))
+QPARAMS = Q.quantize_params(PARAMS, CFG)
+
+
+def test_quantize_params_structure():
+    q = QPARAMS["layers"]["q"]
+    assert q["q"].dtype == jnp.int8
+    assert q["q"].shape == PARAMS["layers"]["q"].shape
+    assert q["s"].shape == (CFG.num_hidden_layers, 1, PARAMS["layers"]["q"].shape[-1])
+
+
+def test_w4_packing_structure():
+    cfg4 = CFG.replace(w_bits=4)
+    qp = Q.quantize_params(PARAMS, cfg4)
+    gate = qp["layers"]["gate"]
+    assert gate["q"].dtype == jnp.uint8
+    assert gate["q"].shape[1] == PARAMS["layers"]["gate"].shape[1] // 2
+
+
+def test_serving_logits_match_training_model():
+    """True-int serving forward must match the fake-quant training forward
+    (same math, integer accumulation) on a fresh prefill."""
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, CFG.vocab_size)
+    want = np.asarray(llama.forward(PARAMS, CFG, ids))  # fp32 path
+
+    cache = M.init_serving_cache(CFG, batch=2, max_len=32)
+    logits, cache = M.serving_forward(
+        QPARAMS, CFG, ids,
+        jnp.zeros((2,), jnp.int32), jnp.ones((2,), bool), cache,
+        dtype=jnp.float32,
+    )
+    got = np.asarray(logits)
+    # int8 path vs fp fake-quant: tiny associativity differences only
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(np.asarray(cache["lengths"]), [16, 16])
+
+
+def test_serving_ragged_decode():
+    """Slots at different lengths must decode like isolated sequences."""
+    ids_a = jax.random.randint(jax.random.PRNGKey(2), (1, 12), 0, CFG.vocab_size)
+    ids_b = jax.random.randint(jax.random.PRNGKey(3), (1, 7), 0, CFG.vocab_size)
+
+    def isolated(ids):
+        cache = M.init_serving_cache(CFG, 1, 32)
+        lg, cache = M.serving_forward(
+            QPARAMS, CFG, ids, jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), bool), cache, dtype=jnp.float32,
+        )
+        return np.asarray(lg[0, ids.shape[1] - 1])
+
+    want_a, want_b = isolated(ids_a), isolated(ids_b)
+
+    # joint cache: prefill a then b (ragged), compare last-token logits
+    cache = M.init_serving_cache(CFG, 2, 32)
+    ids = np.zeros((2, 12), np.int32)
+    ids[0] = np.asarray(ids_a[0])
+    lg, cache = M.serving_forward(
+        QPARAMS, CFG, jnp.asarray(ids), jnp.zeros((2,), jnp.int32),
+        jnp.asarray([True, False]), cache, dtype=jnp.float32,
+    )
+    got_a = np.asarray(lg[0, 11])
+    ids2 = np.zeros((2, 7), np.int32)
+    ids2[1] = np.asarray(ids_b[0])
+    lg2, cache = M.serving_forward(
+        QPARAMS, CFG, jnp.asarray(ids2), cache["lengths"],
+        jnp.asarray([False, True]), cache, dtype=jnp.float32,
+    )
+    got_b = np.asarray(lg2[1, 6])
+    np.testing.assert_allclose(got_a, want_a, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_b, want_b, rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(cache["lengths"]), [12, 7])
+
+
+def _greedy_reference(prompt, n):
+    """Greedy rollout on the fake-quant training model."""
+    cache = llama.init_cache(CFG, 1, 64, dtype=jnp.float32)
+    ids = jnp.asarray([prompt], jnp.int32)
+    lg, cache = llama.forward_with_cache(PARAMS, CFG, ids, cache, dtype=jnp.float32)
+    out = []
+    tok = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+    for _ in range(n):
+        out.append(int(tok[0, 0]))
+        lg, cache = llama.forward_with_cache(PARAMS, CFG, tok, cache, dtype=jnp.float32)
+        tok = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+    return out
+
+
+def test_engine_greedy_matches_training_model():
+    eng = E.InferenceEngine(
+        QPARAMS, CFG, max_batch=2, max_len=64, dtype=jnp.float32
+    )
+    prompt = [5, 9, 3]
+    eng.submit(prompt, max_new_tokens=6)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 6
+    want = _greedy_reference(prompt, 6)
+    # integer vs fp paths can flip ties on a random tiny model; require the
+    # prefix to agree
+    assert done[0].output[:3] == want[:3], (done[0].output, want)
+
+
+def test_engine_continuous_batching_invariance():
+    """Outputs must not depend on co-scheduling: 3 requests through a
+    2-slot engine (forcing queueing + mixed-length decode) == each run
+    alone."""
+    prompts = [[5, 9, 3], [7, 7], [1, 2, 3, 4]]
+
+    def run_alone(p):
+        eng = E.InferenceEngine(QPARAMS, CFG, max_batch=2, max_len=64, dtype=jnp.float32)
+        eng.submit(p, max_new_tokens=5)
+        return eng.run()[0].output
+
+    want = [run_alone(p) for p in prompts]
+
+    eng = E.InferenceEngine(QPARAMS, CFG, max_batch=2, max_len=64, dtype=jnp.float32)
+    uids = [eng.submit(p, max_new_tokens=5) for p in prompts]
+    done = {r.uid: r.output for r in eng.run()}
+    got = [done[u] for u in uids]
+    assert got == want
+
+
+def test_engine_eos_stops():
+    eng = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=64, dtype=jnp.float32)
+    # discover the first greedy token, then use it as "eos"
+    first = _greedy_reference([5, 9, 3], 1)[0]
+    eng.submit([5, 9, 3], max_new_tokens=10, eos_id=first)
+    done = eng.run()
+    assert done[0].output == [first]
