@@ -28,7 +28,16 @@ DEFAULT_VAL_LINES = 10_000  # datautils.py:51-53
 
 
 def read_jsonl_texts(path: str, max_lines: Optional[int] = None) -> List[str]:
-    """Read ``{"text": ...}`` lines (datautils.py:31-54)."""
+    """Read ``{"text": ...}`` lines (datautils.py:31-54). Uses the native
+    C++ reader (llm_qat_tpu.native) when the toolchain is available."""
+    from llm_qat_tpu.native import get_fastdata
+
+    fd = get_fastdata()
+    if fd is not None:
+        try:
+            return fd.read_jsonl_texts(path, -1 if max_lines is None else max_lines)
+        except ValueError:
+            pass  # unusual jsonl; fall through to the strict parser
     texts: List[str] = []
     with open(path) as f:
         for i, line in enumerate(f):

@@ -123,8 +123,14 @@ def synthesize_shard(
 
     done = 0
     if os.path.exists(path):
-        with open(path) as f:
-            done = sum(1 for _ in f)
+        from llm_qat_tpu.native import get_fastdata
+
+        fd = get_fastdata()
+        if fd is not None:
+            done = fd.count_lines(path)
+        else:
+            with open(path) as f:
+                done = sum(1 for _ in f)
     work = work[done:]
 
     with open(path, "a") as f:

@@ -35,6 +35,7 @@ class LlamaConfig:
     a_bits: int = 32
     kv_bits: int = 32
     symmetric: bool = True        # act quantizer choice (utils_quant.py:184-188)
+    use_flash_attention: bool = False  # Pallas blockwise attention (training fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False
 

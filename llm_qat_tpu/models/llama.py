@@ -158,6 +158,7 @@ def decoder_layer(
     sin: jax.Array,
     cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """One decoder block (modeling_llama_quant.py:396-469).
 
@@ -199,7 +200,12 @@ def decoder_layer(
         k, v = k_cache, v_cache
         new_cache = (k_cache, v_cache)
 
-    attn = _attend(q, k, v, mask)
+    if use_flash and cache_kv is None:
+        from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
+
+        attn = flash_attention(q, k, v)
+    else:
+        attn = _attend(q, k, v, mask)
     attn = quant_dense(attn, lp["o"], **qd)
     h = h + attn
 
@@ -264,10 +270,19 @@ def forward(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
-    mask = causal_mask(b, s, attention_mask, dtype=jnp.float32)
+    # flash path: pure-causal full-sequence attention with block-aligned s
+    use_flash = (
+        c.use_flash_attention and attention_mask is None and s % min(128, s) == 0
+        and s >= 16
+    )
+    mask = (
+        jnp.zeros((b, 1, 1, 1), jnp.float32)
+        if use_flash
+        else causal_mask(b, s, attention_mask, dtype=jnp.float32)
+    )
 
     def body(h, lp):
-        out, _ = decoder_layer(h, lp, c, mask, cos, sin)
+        out, _ = decoder_layer(h, lp, c, mask, cos, sin, use_flash=use_flash)
         return out, None
 
     if remat:

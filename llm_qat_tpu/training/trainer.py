@@ -129,7 +129,7 @@ def make_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             make_schedule(cfg),
@@ -139,6 +139,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         ),
     )
+    if cfg.grad_accum_steps > 1:
+        # true micro-batch accumulation (HF Trainer steps the optimizer every
+        # grad_accum steps; the reference scales the loss, kd_trainer.py:112-114
+        # — MultiSteps' grad averaging is the same update)
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 # ---------------------------------------------------------------------------

@@ -129,3 +129,16 @@ def test_perplexity_uniform_model():
     )
     assert np.isclose(m["perplexity"], np.exp(m["eval_loss"]))
     assert 10 < m["perplexity"] < cfg.vocab_size * 4
+
+
+def test_step_timer():
+    from llm_qat_tpu.utils.profiling import StepTimer
+    import time as _t
+
+    t = StepTimer(warmup_steps=1)
+    for _ in range(4):
+        t.tick(tokens=100)
+        _t.sleep(0.01)
+    s = t.summary()
+    assert s["step_time_s"] > 0 and s["tokens_per_s"] > 0
+    assert t.steps_timed == 2  # 4 ticks -> 3 intervals -> 1 warmup dropped

@@ -1,0 +1,46 @@
+"""Flash attention wired into the model: forward/grad parity with the naive
+attention path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+
+
+def test_model_flash_matches_naive():
+    cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
+    cfg_f = cfg.replace(use_flash_attention=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 0, cfg.vocab_size)
+    a = llama.forward(params, cfg, ids)
+    b = llama.forward(params, cfg_f, ids)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+def test_model_flash_grad_matches():
+    cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
+    cfg_f = cfg.replace(use_flash_attention=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (1, 32), 0, cfg.vocab_size)
+
+    g1 = jax.grad(lambda p: jnp.sum(llama.forward(p, cfg, ids) ** 2) * 1e-4)(params)
+    g2 = jax.grad(lambda p: jnp.sum(llama.forward(p, cfg_f, ids) ** 2) * 1e-4)(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5
+        ),
+        g1, g2,
+    )
+
+
+def test_model_flash_with_padding_mask_falls_back():
+    """attention_mask present -> naive path (flash is causal-only)."""
+    cfg = TINY_TEST.replace(use_flash_attention=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(3), (1, 32), 0, cfg.vocab_size)
+    mask = jnp.ones((1, 32))
+    out = llama.forward(params, cfg, ids, attention_mask=mask)
+    want = llama.forward(params, cfg.replace(use_flash_attention=False), ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), rtol=1e-5, atol=1e-5)
