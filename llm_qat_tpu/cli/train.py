@@ -135,16 +135,31 @@ def run(
         training_args.logging_dir or os.path.join(training_args.output_dir, "logs")
     )
 
+    # --- resume (the capability the reference leaves unwired — SURVEY.md §5
+    # "Failure detection": HF's resume_from_checkpoint exists upstream but
+    # train.py never passes it) ---
+    start_step = 0
+    if training_args.resume_from_checkpoint:
+        latest = mngr.latest_step()
+        if latest is not None:
+            tr.state = mngr.restore(tr.state)
+            start_step = latest
+            log.info("resumed from checkpoint step %d", latest)
+
     # --- train loop (train.py:126; HF Trainer inner loop equivalent) ---
     result = {}
     if training_args.do_train:
-        step = 0
-        for batch in train_ds.batches(
-            global_batch,
-            shuffle=True,
-            seed=training_args.seed,
-            epochs=training_args.num_train_epochs,
+        step = start_step
+        for i, batch in enumerate(
+            train_ds.batches(
+                global_batch,
+                shuffle=True,
+                seed=training_args.seed,
+                epochs=training_args.num_train_epochs,
+            )
         ):
+            if i < start_step:  # replay the data order up to the restore point
+                continue
             if step >= total_steps:
                 break
             m = tr.train_step(batch)

@@ -5,19 +5,26 @@ batch-1 synthesis script, generate_data.py:37-48); this is the north-star
 serving extension: slot-based continuous batching over the true-int
 quantized model (inference/model.py) with the int8 KV cache.
 
-Design: a fixed ``[max_batch]`` slot array shares one jitted decode step
-(s=1) — every wall-clock step decodes all active slots at their own
-offsets. Admissions prefill a single slot with the prompt padded to a
-power-of-two bucket (bounded compile count), then the slot joins the decode
-batch. Completions free their slot for the next queued request. All shapes
-static; raggedness lives in `seq_lens`/`active` vectors.
+Design:
+  * a fixed ``[max_batch]`` slot array shares one jitted decode program;
+  * **device-side sampling + chunked decode**: ``steps_per_sync`` tokens are
+    sampled (greedy or top-k temperature, per-slot) and decoded inside one
+    ``lax.scan`` before any host synchronization — on tunneled/remote
+    devices the per-call round trip (~hundreds of ms) would otherwise
+    dominate decode latency;
+  * admissions prefill a single slot with the prompt padded to a
+    power-of-two bucket (bounded compile count), then the slot joins the
+    decode batch; EOS/max-token retirements free slots between chunks (the
+    ≤K-1 tokens decoded past an EOS are discarded with the slot).
+All shapes static; raggedness lives in ``lengths``/``active`` vectors.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from collections import deque
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 import jax
@@ -47,6 +54,49 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _sample_tokens(logits, temps, top_k, key):
+    """Per-row sampling: greedy where temp<=0, else top-k temperature."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    safe_t = jnp.where(temps > 0, temps, 1.0)
+    lg = logits / safe_t[:, None]
+    if top_k and top_k < lg.shape[-1]:
+        kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    sampled = jax.random.categorical(key, lg).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_steps", "top_k", "dtype"))
+def _decode_chunk(
+    qparams,
+    config: LlamaConfig,
+    logits0: jax.Array,   # [b, V] — logits to sample the first token from
+    temps: jax.Array,     # [b]
+    active: jax.Array,    # [b] bool
+    cache: Dict[str, jax.Array],
+    key: jax.Array,
+    n_steps: int,
+    top_k: int,
+    dtype=jnp.bfloat16,
+):
+    """Sample+decode ``n_steps`` tokens entirely on device."""
+
+    def body(carry, _):
+        logits, cache, key = carry
+        key, sub = jax.random.split(key)
+        tok = _sample_tokens(logits, temps, top_k, sub)
+        new_logits, cache = M.serving_forward(
+            qparams, config, tok[:, None], cache["lengths"], active, cache,
+            dtype=dtype,
+        )
+        return (new_logits[:, 0], cache, key), tok
+
+    (logits, cache, _), toks = jax.lax.scan(
+        body, (logits0, cache, key), None, length=n_steps
+    )
+    return toks.T, logits, cache  # [b, n_steps]
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -55,6 +105,8 @@ class InferenceEngine:
         *,
         max_batch: int = 8,
         max_len: int = 2048,
+        steps_per_sync: int = 8,
+        top_k: int = 50,
         dtype=jnp.bfloat16,
         seed: int = 0,
     ):
@@ -62,13 +114,17 @@ class InferenceEngine:
         self.config = config
         self.max_batch = max_batch
         self.max_len = max_len
+        self.steps_per_sync = steps_per_sync
+        self.top_k = top_k
         self.dtype = dtype
         self.cache = M.init_serving_cache(config, max_batch, max_len)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._uid = 0
         self._key = jax.random.PRNGKey(seed)
-        self._decode = jax.jit(
+        # held logits for the next sample, one row per slot
+        self._logits = np.zeros((max_batch, config.vocab_size), np.float32)
+        self._prefill = jax.jit(
             lambda qp, ids, lens, act, cache: M.serving_forward(
                 qp, config, ids, lens, act, cache, dtype=dtype
             )
@@ -81,7 +137,7 @@ class InferenceEngine:
         prompt: Sequence[int],
         max_new_tokens: int = 128,
         temperature: float = 0.0,
-        top_k: int = 50,
+        top_k: Optional[int] = None,
         eos_id: Optional[int] = None,
     ) -> int:
         self._uid += 1
@@ -91,7 +147,7 @@ class InferenceEngine:
                 prompt=list(prompt),
                 max_new_tokens=max_new_tokens,
                 temperature=temperature,
-                top_k=top_k,
+                top_k=top_k if top_k is not None else self.top_k,
                 eos_id=eos_id,
             )
         )
@@ -115,19 +171,14 @@ class InferenceEngine:
             # capacity: last cache row is scratch for inactive slots
             prompt = req.prompt[: self.max_len - req.max_new_tokens - 1]
             bucket = _bucket(len(prompt))
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, : len(prompt)] = prompt
 
-            # reset the slot's region and prefill at offset 0; other slots
-            # keep their true lengths (serving_forward passes them through
-            # for inactive slots)
             self._reset_slot(b)
             lens = np.array(self.cache["lengths"])
             active = np.zeros((self.max_batch,), bool)
             active[b] = True
             ids_full = np.zeros((self.max_batch, bucket), np.int32)
-            ids_full[b] = ids[0]
-            logits, self.cache = self._decode(
+            ids_full[b, : len(prompt)] = prompt
+            logits, self.cache = self._prefill(
                 self.qparams,
                 jnp.asarray(ids_full),
                 jnp.asarray(lens),
@@ -136,62 +187,71 @@ class InferenceEngine:
             )
             # prefill wrote `bucket` rows; trim the slot length back to the
             # real prompt (padding rows beyond it stay invalid)
-            lengths = np.array(self.cache["lengths"])  # writable copy
+            lengths = np.array(self.cache["lengths"])
             lengths[b] = len(prompt)
             self.cache = dict(self.cache, lengths=jnp.asarray(lengths))
-            req._next_logits = np.asarray(logits[b, len(prompt) - 1])
+            self._logits[b] = np.asarray(logits[b, len(prompt) - 1])
             self.slots[b] = req
 
     def _reset_slot(self, b: int) -> None:
-        lengths = np.array(self.cache["lengths"])  # writable copy
+        lengths = np.array(self.cache["lengths"])
         lengths[b] = 0
         self.cache = dict(self.cache, lengths=jnp.asarray(lengths))
 
-    def _sample(self, req: Request, logits: np.ndarray) -> int:
-        if req.temperature <= 0.0:
-            return int(np.argmax(logits))
-        lg = logits / req.temperature
-        if req.top_k and req.top_k < lg.shape[-1]:
-            kth = np.partition(lg, -req.top_k)[-req.top_k]
-            lg = np.where(lg < kth, -np.inf, lg)
-        self._key, sub = jax.random.split(self._key)
-        return int(jax.random.categorical(sub, jnp.asarray(lg)))
-
     def step(self) -> List[Request]:
-        """One engine iteration: admit, decode all active slots, sample,
-        retire completions."""
+        """One engine iteration: admit, decode a chunk on device, retire."""
         self._admit()
         active_ids = [b for b, s in enumerate(self.slots) if s is not None]
         if not active_ids:
             return []
 
-        # sample the next token per active slot from the held logits
-        tokens = np.zeros((self.max_batch, 1), np.int32)
-        for b in active_ids:
-            req = self.slots[b]
-            tok = self._sample(req, req._next_logits)
-            req.output.append(tok)
-            tokens[b, 0] = tok
+        # chunk size: don't overshoot the smallest remaining budget by more
+        # than necessary (still >=1)
+        budget = min(
+            self.slots[b].max_new_tokens - len(self.slots[b].output)
+            for b in active_ids
+        )
+        n_steps = max(1, min(self.steps_per_sync, budget))
 
         active = np.zeros((self.max_batch,), bool)
         active[active_ids] = True
-        logits, self.cache = self._decode(
+        temps = np.zeros((self.max_batch,), np.float32)
+        for b in active_ids:
+            temps[b] = self.slots[b].temperature
+        self._key, sub = jax.random.split(self._key)
+
+        toks, logits, self.cache = _decode_chunk(
             self.qparams,
-            jnp.asarray(tokens),
-            self.cache["lengths"],
+            self.config,
+            jnp.asarray(self._logits),
+            jnp.asarray(temps),
             jnp.asarray(active),
             self.cache,
+            sub,
+            n_steps,
+            self.top_k,
+            self.dtype,
         )
-        logits_np = np.asarray(logits[:, 0])
+        toks_np = np.asarray(toks)
+        self._logits = np.array(logits)  # writable copy (prefill writes rows)
 
         finished: List[Request] = []
         for b in active_ids:
             req = self.slots[b]
-            req._next_logits = logits_np[b]
-            hit_eos = req.eos_id is not None and req.output[-1] == req.eos_id
-            full = len(req.output) >= req.max_new_tokens
-            out_of_room = int(np.asarray(self.cache["lengths"])[b]) >= self.max_len - 1
-            if hit_eos or full or out_of_room:
+            seq = list(toks_np[b])
+            if req.eos_id is not None and req.eos_id in seq:
+                seq = seq[: seq.index(req.eos_id) + 1]
+                req.output.extend(seq)
+                req.done = True
+            else:
+                req.output.extend(seq)
+                if len(req.output) >= req.max_new_tokens:
+                    req.output = req.output[: req.max_new_tokens]
+                    req.done = True
+            out_of_room = (
+                int(np.asarray(self.cache["lengths"])[b]) >= self.max_len - 1
+            )
+            if req.done or out_of_room:
                 req.done = True
                 finished.append(req)
                 self.slots[b] = None

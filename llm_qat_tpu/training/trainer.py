@@ -227,14 +227,48 @@ def make_eval_step(model_cfg: LlamaConfig, compute_dtype=jnp.bfloat16) -> Callab
 # ---------------------------------------------------------------------------
 
 
+def _opt_state_specs(abstract_opt: Any, params: Any, specs: Any) -> Any:
+    """PartitionSpec tree for an optax state: every params-structured
+    subtree (mu, nu, MultiSteps grad buffers) gets the param specs — the
+    actual ZeRO-3 sharding of Adam state — and loose leaves (step counts)
+    replicate."""
+    pstruct = jax.tree.structure(params)
+
+    def rec(x):
+        if jax.tree.structure(x) == pstruct:
+            return specs
+        if hasattr(x, "_fields"):  # optax NamedTuple states
+            return type(x)(*(rec(getattr(x, f)) for f in x._fields))
+        if isinstance(x, (tuple, list)):
+            return type(x)(rec(c) for c in x)
+        return P()
+
+    return rec(abstract_opt)
+
+
 def init_train_state(
     params: Any, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
 ) -> TrainState:
-    """Init optimizer state; under a mesh, jit propagates the params'
-    NamedShardings into mu/nu so Adam state is sharded like the params
-    (ZeRO-3: optimizer state lives on the fsdp axis)."""
-    opt_state = jax.jit(tx.init)(params)
-    return TrainState(params, opt_state, jnp.zeros((), jnp.int32))
+    """Init optimizer state. Under a mesh the Adam mu/nu are explicitly
+    sharded like the params (ZeRO-3: optimizer state on the fsdp axis) —
+    jit's sharding propagation alone does NOT do this (observed: the whole
+    opt state lands on one device)."""
+    if mesh is None:
+        opt_state = jax.jit(tx.init)(params)
+        step = jnp.zeros((), jnp.int32)
+    else:
+        specs = pmesh.param_specs("lm_head" not in params)
+        abstract = jax.eval_shape(tx.init, params)
+        out_shardings = jax.tree.map(
+            lambda s: NamedSharding(mesh, s),
+            _opt_state_specs(abstract, params, specs),
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        opt_state = jax.jit(tx.init, out_shardings=out_shardings)(params)
+        step = jax.device_put(
+            jnp.zeros((), jnp.int32), NamedSharding(mesh, P())
+        )
+    return TrainState(params, opt_state, step)
 
 
 def shard_batch(batch: Dict[str, jax.Array], mesh: Mesh) -> Dict[str, jax.Array]:

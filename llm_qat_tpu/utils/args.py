@@ -65,6 +65,7 @@ class TrainingArguments:
     bf16: bool = True
     seed: int = 0
     max_steps: int = -1                 # -1: derive from epochs x data
+    resume_from_checkpoint: bool = False  # restore latest step in output_dir
     # mesh layout (replaces torchrun/--fsdp flags, run_train.sh:8,42-43)
     mesh_data: int = 1
     mesh_fsdp: int = -1

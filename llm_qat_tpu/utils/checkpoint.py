@@ -54,9 +54,18 @@ class CheckpointManager:
             step = self._mngr.latest_step()
         if step is None:
             raise FileNotFoundError("no checkpoint found")
-        return self._mngr.restore(
+        restored = self._mngr.restore(
             step, args=ocp.args.StandardRestore(state_template)
         )
+
+        # Orbax can return scalars/leaves without the template's (replicated)
+        # sharding; re-place every leaf so jitted steps see uniform devices.
+        def replace(t, r):
+            if hasattr(t, "sharding") and hasattr(r, "dtype"):
+                return jax.device_put(r, t.sharding)
+            return r
+
+        return jax.tree.map(replace, state_template, restored)
 
     def wait(self):
         self._mngr.wait_until_finished()
