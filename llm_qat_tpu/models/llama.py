@@ -245,7 +245,7 @@ def _logits(params: Params, config: LlamaConfig, h: jax.Array) -> jax.Array:
     return jnp.matmul(h, head.astype(h.dtype), preferred_element_type=acc_t)
 
 
-def forward(
+def backbone(
     params: Params,
     config: LlamaConfig,
     input_ids: jax.Array,  # [b, s] int32
@@ -255,9 +255,10 @@ def forward(
     remat: bool = False,
     dtype=None,
 ) -> jax.Array:
-    """Full-sequence forward returning fp32 logits ``[b, s, vocab]``.
+    """Decoder sweep returning the final hidden states ``[b, s, H]``
+    (pre-final-norm — `LlamaModel` body, modeling_llama_quant.py:631-785).
 
-    The 32-layer sweep of the reference (modeling_llama_quant.py:724-756)
+    The 32-layer loop of the reference (modeling_llama_quant.py:724-756)
     becomes a single ``lax.scan`` over stacked layer params; ``remat=True``
     wraps the body in ``jax.checkpoint`` (reference's gradient checkpointing,
     run_train.sh:36).
@@ -288,7 +289,78 @@ def forward(
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
     h, _ = jax.lax.scan(body, h, params["layers"])
-    return _logits(params, c, h)
+    return h
+
+
+def forward(
+    params: Params,
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    **kw,
+) -> jax.Array:
+    """Causal-LM forward: backbone + final norm + fp lm_head -> fp32 logits
+    ``[b, s, vocab]`` (LlamaForCausalLM, modeling_llama_quant.py:820-907)."""
+    h = backbone(params, config, input_ids, **kw)
+    return _logits(params, config, h)
+
+
+# ---------------------------------------------------------------------------
+# Sequence classification head (LlamaForSequenceClassification,
+# modeling_llama_quant.py:970-1050)
+# ---------------------------------------------------------------------------
+
+
+def init_classifier_params(
+    config: LlamaConfig, key: jax.Array, num_labels: int, dtype=jnp.float32
+) -> Params:
+    """Backbone params + a bias-free ``score`` head ``[H, num_labels]``;
+    no lm_head (the reference ignores it on load)."""
+    params = init_params(config.replace(tie_word_embeddings=True), key, dtype)
+    k = jax.random.fold_in(key, num_labels)
+    params["score"] = (
+        jax.random.normal(k, (config.hidden_size, num_labels)) * 0.02
+    ).astype(dtype)
+    return params
+
+
+def classify(
+    params: Params,
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    *,
+    pad_token_id: Optional[int] = None,
+    attention_mask: Optional[jax.Array] = None,
+    remat: bool = False,
+    dtype=None,
+) -> jax.Array:
+    """Pooled classification logits ``[b, num_labels]``: score every
+    position, pool at the last non-pad token (or the last position when no
+    ``pad_token_id`` — reference modeling_llama_quant.py:1035-1050)."""
+    h = backbone(
+        params, config, input_ids,
+        attention_mask=attention_mask, remat=remat, dtype=dtype,
+    )
+    h = rms_norm(h, params["final_norm"], config.rms_norm_eps)
+    logits = jnp.matmul(
+        h, params["score"].astype(h.dtype), preferred_element_type=jnp.float32
+    )  # [b, s, num_labels]
+    b, s = input_ids.shape
+    if pad_token_id is None:
+        lengths = jnp.full((b,), s - 1, jnp.int32)
+    else:
+        lengths = jnp.sum(input_ids != pad_token_id, axis=-1) - 1
+    return logits[jnp.arange(b), lengths]
+
+
+def classification_loss(
+    pooled_logits: jax.Array, labels: jax.Array
+) -> jax.Array:
+    """CE for multi-class, MSE for regression (num_labels==1) — the
+    reference's problem-type dispatch (modeling_llama_quant.py:1052+)."""
+    if pooled_logits.shape[-1] == 1:
+        return jnp.mean((pooled_logits[..., 0] - labels) ** 2)
+    lp = jax.nn.log_softmax(pooled_logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(lp, labels[:, None], axis=-1))
 
 
 def causal_lm_loss(

@@ -52,6 +52,9 @@ class TrainConfig:
     max_grad_norm: float = 1.0         # HF default, not overridden
     lr_schedule: str = "cosine"        # --lr_scheduler_type cosine
     kd_loss_scale: float = 1.0         # process_args.py:84
+    kd_loss_type: str = "kl"           # "kl" (default) | "mse" — the
+                                       # reference carries an unused mse_loss
+                                       # alternative (kd_trainer.py:50-51)
     use_kd: bool = True
     grad_accum_steps: int = 1
     remat: bool = True                 # --gradient_checkpointing True
@@ -186,9 +189,19 @@ def make_train_step(
                 dtype=train_cfg.compute_dtype,
             )
             if train_cfg.use_kd:
-                loss = train_cfg.kd_loss_scale * kd_kl_loss(
-                    student_logits, teacher_logits, train_cfg.kl_chunk
-                )
+                if train_cfg.kd_loss_type == "mse":
+                    kd = jnp.mean(
+                        (
+                            student_logits.astype(jnp.float32)
+                            - teacher_logits.astype(jnp.float32)
+                        )
+                        ** 2
+                    )
+                else:
+                    kd = kd_kl_loss(
+                        student_logits, teacher_logits, train_cfg.kl_chunk
+                    )
+                loss = train_cfg.kd_loss_scale * kd
             else:
                 loss = llama.causal_lm_loss(student_logits, batch["labels"])
             return loss

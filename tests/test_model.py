@@ -225,3 +225,52 @@ class TestTorchModelParity:
         g = jax.grad(loss)(params)
         got = np.asarray(g["layers"]["q"][0]).T  # [in,out] -> [out,in]
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+def test_sequence_classification():
+    """Classifier head parity behaviors: pooling at last non-pad token,
+    CE/MSE dispatch (reference modeling_llama_quant.py:970-1050)."""
+    cfg = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+    params = llama.init_classifier_params(cfg, jax.random.PRNGKey(0), num_labels=3)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 10), 1, cfg.vocab_size)
+    out = llama.classify(params, cfg, ids)
+    assert out.shape == (2, 3)
+
+    # pooling: padding after position 6 must not change the pooled logits
+    pad = 0
+    ids_padded = jnp.concatenate(
+        [ids[:, :7], jnp.full((2, 3), pad, jnp.int32)], axis=1
+    )
+    mask = (ids_padded != pad).astype(jnp.int32)
+    a = llama.classify(
+        params, cfg, ids[:, :7], pad_token_id=pad, attention_mask=jnp.ones((2, 7))
+    )
+    b = llama.classify(
+        params, cfg, ids_padded, pad_token_id=pad, attention_mask=mask
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+    labels = jnp.asarray([0, 2])
+    ce = llama.classification_loss(out, labels)
+    assert np.isfinite(float(ce))
+    reg = llama.classification_loss(out[:, :1], jnp.asarray([0.5, -1.0]))
+    assert np.isfinite(float(reg))
+
+
+def test_kd_mse_loss_type():
+    from llm_qat_tpu.training import trainer as T
+
+    cfg = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+    tcfg = T.TrainConfig(
+        learning_rate=5e-3, remat=False, compute_dtype=jnp.float32,
+        kd_loss_type="mse",
+    )
+    tp = llama.init_params(cfg.replace(w_bits=32, a_bits=32, kv_bits=32), jax.random.PRNGKey(0))
+    sp = llama.init_params(cfg, jax.random.PRNGKey(1))
+    tr = T.Trainer(cfg, tcfg, sp, tp)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, cfg.vocab_size)
+    batch = {"input_ids": ids, "labels": ids}
+    l0 = float(tr.train_step(batch)["loss"])
+    for _ in range(5):
+        m = tr.train_step(batch)
+    assert float(m["loss"]) < l0
