@@ -1,0 +1,209 @@
+"""Paged quantized KV cache (paged-attention-style block tables).
+
+North-star serving extension with no reference counterpart: instead of one
+contiguous ``[b, max_len]`` region per slot (inference/model.py), K/V live
+in a global pool of fixed-size **pages** shared by all slots —
+``[L, n_pages, page_size, kv_dim]`` int8 + per-token scales — and each slot
+maps logical positions to pages through a block table. Capacity is pooled:
+total tokens = n_pages x page_size regardless of how they distribute over
+slots, so long and short requests mix without reserving worst-case memory.
+
+The attention math is identical to the contiguous path (same pre-RoPE int8
+storage, per-token scales, fp32 softmax); reads gather a slot's pages with
+``jnp.take`` and writes scatter (page, offset) rows — both static-shaped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.inference import quantized as Q
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import LlamaConfig
+
+_NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedConfig:
+    page_size: int = 64
+    n_pages: int = 256
+    max_pages_per_seq: int = 32
+
+    @property
+    def max_seq_len(self) -> int:
+        return self.page_size * self.max_pages_per_seq
+
+
+def init_paged_cache(
+    config: LlamaConfig, pcfg: PagedConfig
+) -> Dict[str, jax.Array]:
+    c = config
+    kv_dim = c.kv_heads * c.head_dim
+    shape = (c.num_hidden_layers, pcfg.n_pages, pcfg.page_size, kv_dim)
+    return {
+        "k_q": jnp.zeros(shape, jnp.int8),
+        "k_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+        "v_q": jnp.zeros(shape, jnp.int8),
+        "v_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+    }
+
+
+def _paged_layer(
+    h: jax.Array,              # [b, s, H]
+    lq: Dict[str, Any],
+    config: LlamaConfig,
+    pcfg: PagedConfig,
+    positions: jax.Array,      # [b, s]
+    block_tables: jax.Array,   # [b, max_pages] page ids (unused slots -> 0)
+    kv_pool: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
+    write_pages: jax.Array,    # [b, s] destination page id per new token
+    write_offsets: jax.Array,  # [b, s] destination offset per new token
+    kv_valid: jax.Array,       # [b, max_tok] which gathered entries attend
+    dtype,
+):
+    c = config
+    b, s, _ = h.shape
+    hd, nh, kvh = c.head_dim, c.num_attention_heads, c.kv_heads
+    P = pcfg.page_size
+    kb = c.kv_bits if c.kv_bits < 32 else 8
+
+    k_q, k_s, v_q, v_s = kv_pool
+
+    x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
+    q = Q.quant_linear(x, lq["q"], c.w_bits, out_dtype=dtype)
+    k = Q.quant_linear(x, lq["k"], c.w_bits, out_dtype=dtype)
+    v = Q.quant_linear(x, lq["v"], c.w_bits, out_dtype=dtype)
+
+    nk_q, nk_s = Q.quantize_kv(k, kb)
+    nv_q, nv_s = Q.quantize_kv(v, kb)
+
+    # scatter new rows into (page, offset) slots — distinct destinations
+    pg = write_pages.reshape(-1)
+    of = write_offsets.reshape(-1)
+    k_q = k_q.at[pg, of].set(nk_q.reshape(b * s, -1))
+    k_s = k_s.at[pg, of].set(nk_s.reshape(b * s, -1))
+    v_q = v_q.at[pg, of].set(nv_q.reshape(b * s, -1))
+    v_s = v_s.at[pg, of].set(nv_s.reshape(b * s, -1))
+
+    # gather each slot's pages -> [b, max_tok, kv_dim]
+    max_tok = block_tables.shape[1] * P
+
+    def gather(pool):
+        g = jnp.take(pool, block_tables, axis=0)  # [b, max_pages, P, ...]
+        return g.reshape(b, max_tok, *pool.shape[2:])[..., :]
+
+    kd = Q.dequantize_kv(gather(k_q), gather(k_s), dtype).reshape(
+        b, max_tok, kvh, hd
+    )
+    vd = Q.dequantize_kv(gather(v_q), gather(v_s), dtype).reshape(
+        b, max_tok, kvh, hd
+    )
+    cache_pos = jnp.broadcast_to(
+        jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
+    )
+    kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+    kd = llama.apply_rope(kd, kcos, ksin)
+
+    qh = q.reshape(b, s, nh, hd)
+    qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
+    qh = llama.apply_rope(qh, qcos, qsin)
+
+    vis = (
+        cache_pos[:, None, :] <= positions[:, :, None]
+    ) & kv_valid[:, None, :]
+    mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
+
+    attn = llama._attend(qh, kd, vd, mask)
+    attn = Q.quant_linear(attn, lq["o"], c.w_bits, out_dtype=dtype)
+    h = h + attn
+
+    x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
+    gate = Q.quant_linear(x, lq["gate"], c.w_bits, out_dtype=dtype)
+    up = Q.quant_linear(x, lq["up"], c.w_bits, out_dtype=dtype)
+    x = Q.quant_linear(jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype)
+    return h + x, (k_q, k_s, v_q, v_s)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "pcfg", "dtype")
+)
+def paged_forward(
+    qparams,
+    config: LlamaConfig,
+    pcfg: PagedConfig,
+    input_ids: jax.Array,     # [b, s]
+    seq_lens: jax.Array,      # [b] length before this call
+    active: jax.Array,        # [b] bool
+    block_tables: jax.Array,  # [b, max_pages_per_seq] int32
+    cache: Dict[str, jax.Array],
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Paged analog of `model.serving_forward`. The host must have assigned
+    enough pages in ``block_tables`` to cover ``seq_lens + s``. Inactive
+    slots write into page ``n_pages-1`` (reserved scratch) and don't
+    advance."""
+    c = config
+    b, s = input_ids.shape
+    P = pcfg.page_size
+
+    h = jnp.take(qparams["embed"], input_ids, axis=0).astype(dtype)
+    positions = seq_lens[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
+
+    # destination (page, offset) for each new token
+    page_idx = positions // P                     # logical page index
+    offsets = positions % P
+    pages = jnp.take_along_axis(
+        block_tables, jnp.clip(page_idx, 0, block_tables.shape[1] - 1), axis=1
+    )
+    scratch = pcfg.n_pages - 1
+    pages = jnp.where(active[:, None], pages, scratch)
+
+    new_len = jnp.where(active, seq_lens + s, seq_lens)
+    max_tok = block_tables.shape[1] * P
+    kv_valid = jnp.arange(max_tok, dtype=jnp.int32)[None, :] < new_len[:, None]
+
+    def body(h, xs):
+        lq, k_q, k_s, v_q, v_s = xs
+        out, kv = _paged_layer(
+            h, lq, c, pcfg, positions, block_tables,
+            (k_q, k_s, v_q, v_s), pages, offsets, kv_valid, dtype,
+        )
+        return out, kv
+
+    layer_xs = (
+        qparams["layers"], cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
+    )
+    h, (k_q, k_s, v_q, v_s) = jax.lax.scan(body, h, layer_xs)
+
+    h = llama.rms_norm(h, qparams["final_norm"], c.rms_norm_eps)
+    head = qparams["embed"].T if "lm_head" not in qparams else qparams["lm_head"]
+    logits = jnp.matmul(h, head.astype(h.dtype), preferred_element_type=jnp.float32)
+    return logits, {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
+
+
+class PageAllocator:
+    """Host-side free-list of pages. Page ``n_pages-1`` is reserved as the
+    scratch page for inactive-slot writes."""
+
+    def __init__(self, pcfg: PagedConfig):
+        self.pcfg = pcfg
+        self.free = list(range(pcfg.n_pages - 1))
+
+    def alloc(self, n: int):
+        if n > len(self.free):
+            raise MemoryError(f"paged KV pool exhausted (need {n}, have {len(self.free)})")
+        out = [self.free.pop() for _ in range(n)]
+        return out
+
+    def release(self, pages):
+        self.free.extend(int(p) for p in pages)
+
+    @property
+    def available(self) -> int:
+        return len(self.free)

@@ -1,0 +1,84 @@
+"""Paged KV cache: parity with the contiguous serving path, page
+indirection, allocator bookkeeping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.inference import model as M
+from llm_qat_tpu.inference import paged as PG
+from llm_qat_tpu.inference import quantized as Q
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+
+CFG = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+PARAMS = llama.init_params(CFG, jax.random.PRNGKey(0))
+QPARAMS = Q.quantize_params(PARAMS, CFG)
+PCFG = PG.PagedConfig(page_size=8, n_pages=32, max_pages_per_seq=4)
+
+
+def test_paged_matches_contiguous_prefill_and_decode():
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, CFG.vocab_size)
+
+    # contiguous reference
+    ccache = M.init_serving_cache(CFG, 2, PCFG.max_seq_len)
+    want, ccache = M.serving_forward(
+        QPARAMS, CFG, ids, jnp.zeros((2,), jnp.int32), jnp.ones((2,), bool),
+        ccache, dtype=jnp.float32,
+    )
+
+    # paged with a *shuffled* page assignment (proves table indirection)
+    pcache = PG.init_paged_cache(CFG, PCFG)
+    tables = jnp.asarray([[7, 3, 0, 0], [11, 5, 0, 0]], jnp.int32)
+    got, pcache = PG.paged_forward(
+        QPARAMS, CFG, PCFG, ids, jnp.zeros((2,), jnp.int32),
+        jnp.ones((2,), bool), tables, pcache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+    # one decode token each, crossing into the second page for slot lengths 12
+    tok = jax.random.randint(jax.random.PRNGKey(2), (2, 1), 0, CFG.vocab_size)
+    want2, ccache = M.serving_forward(
+        QPARAMS, CFG, tok, ccache["lengths"], jnp.ones((2,), bool),
+        ccache, dtype=jnp.float32,
+    )
+    got2, pcache = PG.paged_forward(
+        QPARAMS, CFG, PCFG, tok, jnp.asarray([12, 12], jnp.int32),
+        jnp.ones((2,), bool), tables, pcache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_paged_inactive_slot_untouched():
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, CFG.vocab_size)
+    pcache = PG.init_paged_cache(CFG, PCFG)
+    tables = jnp.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], jnp.int32)
+    _, pcache = PG.paged_forward(
+        QPARAMS, CFG, PCFG, ids, jnp.zeros((2,), jnp.int32),
+        jnp.asarray([True, False]), tables, pcache, dtype=jnp.float32,
+    )
+    # slot 1's pages (3,4) must still be zero
+    assert not np.asarray(pcache["k_q"][:, 3]).any()
+    assert not np.asarray(pcache["k_q"][:, 4]).any()
+    # slot 0's first page written
+    assert np.asarray(pcache["k_q"][:, 1]).any()
+
+
+def test_page_allocator():
+    alloc = PG.PageAllocator(PCFG)
+    total = PCFG.n_pages - 1  # last page reserved as scratch
+    assert alloc.available == total
+    a = alloc.alloc(4)
+    assert len(set(a)) == 4 and alloc.available == total - 4
+    alloc.release(a[:2])
+    assert alloc.available == total - 2
+    try:
+        alloc.alloc(total)
+        raised = False
+    except MemoryError:
+        raised = True
+    assert raised
