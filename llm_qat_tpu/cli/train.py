@@ -26,6 +26,7 @@ from llm_qat_tpu.training import trainer as T
 from llm_qat_tpu.utils import args as A
 from llm_qat_tpu.utils.checkpoint import CheckpointManager
 from llm_qat_tpu.utils.logging_utils import MetricsLogger, get_logger
+from llm_qat_tpu.utils.profiling import StepTimer
 
 
 def maybe_init_distributed() -> None:
@@ -150,6 +151,7 @@ def run(
     result = {}
     if training_args.do_train:
         step = start_step
+        timer = StepTimer()
         for i, batch in enumerate(
             train_ds.batches(
                 global_batch,
@@ -163,6 +165,7 @@ def run(
             if step >= total_steps:
                 break
             m = tr.train_step(batch)
+            timer.tick(tokens=batch["input_ids"].size)
             step += 1
             if step % training_args.logging_steps == 0:
                 metrics_log.log(step, m)
@@ -172,6 +175,8 @@ def run(
         mngr.save(step, tr.state)
         mngr.wait()
         result["train_steps"] = step
+        result.update(timer.summary())
+        log.info("throughput %s", timer.summary())
 
         # final HF-format latent-fp export, teacher-free by construction
         # (utils/utils.py:39-49)
