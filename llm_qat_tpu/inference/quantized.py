@@ -60,6 +60,55 @@ def quantize_params(params: Dict[str, Any], config: LlamaConfig) -> Dict[str, An
     return out
 
 
+def quantize_params_host(
+    params_host: Dict[str, Any],
+    config: LlamaConfig,
+    device: "jax.Device" = None,
+) -> Dict[str, Any]:
+    """Host-side (numpy) quantization + device_put of the int result only.
+
+    For models whose fp weights don't fit on the chip next to their int
+    copy (7B bf16 = 13.5 GB on a 16 GB part), quantize layer-by-layer on
+    the host and ship just int8/int4 + scales + fp embeddings.
+    """
+    import numpy as np
+
+    w_bits = config.w_bits
+    if w_bits not in (4, 8, 16, 32):
+        raise NotImplementedError(f"serving w_bits {w_bits}")
+
+    def put(x, dtype=None):
+        arr = jnp.asarray(np.asarray(x), dtype)
+        return jax.device_put(arr, device) if device else arr
+
+    out: Dict[str, Any] = {
+        "embed": put(params_host["embed"], jnp.bfloat16),
+        "final_norm": put(params_host["final_norm"], jnp.bfloat16),
+        "layers": {
+            "attn_norm": put(params_host["layers"]["attn_norm"], jnp.bfloat16),
+            "mlp_norm": put(params_host["layers"]["mlp_norm"], jnp.bfloat16),
+        },
+    }
+    if "lm_head" in params_host:
+        out["lm_head"] = put(params_host["lm_head"], jnp.bfloat16)
+
+    qmax = float(2 ** (w_bits - 1) - 1) if w_bits < 16 else None
+    for key in _PROJ_KEYS:
+        w = np.asarray(params_host["layers"][key], np.float32)  # [L, K, N]
+        if w_bits >= 16:
+            out["layers"][key] = {"w": put(w, jnp.bfloat16)}
+            continue
+        absmax = np.max(np.abs(w), axis=1, keepdims=True)
+        s = qmax / (absmax + 1e-6)
+        q = np.rint(w * s).astype(np.int8)
+        if w_bits == 4:
+            lo = (q[:, 0::2].astype(np.uint8)) & 0xF
+            hi = (q[:, 1::2].astype(np.uint8)) & 0xF
+            q = (hi << 4 | lo).astype(np.uint8)
+        out["layers"][key] = {"q": put(q), "s": put(s, jnp.float32)}
+    return out
+
+
 def quant_linear(
     x: jax.Array,           # [..., K] fp
     qw: Dict[str, jax.Array],

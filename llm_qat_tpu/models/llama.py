@@ -172,6 +172,7 @@ def decoder_layer(
     qd = dict(
         w_bits=c.w_bits, a_bits=c.a_bits, symmetric=c.symmetric,
         act_layerwise=c.act_layerwise, weight_layerwise=c.weight_layerwise,
+        fused=c.fused_qat_matmul,
     )
 
     # --- attention ---

@@ -143,3 +143,25 @@ def test_engine_eos_stops():
     eng.submit([5, 9, 3], max_new_tokens=10, eos_id=first)
     done = eng.run()
     assert done[0].output == [first]
+
+
+def test_quantize_params_host_matches_device():
+    """Host-side numpy quantization == on-device quantize_params."""
+    import numpy as np
+
+    host = jax.tree.map(lambda x: np.asarray(x), PARAMS)
+    a = Q.quantize_params_host(host, CFG)
+    b = QPARAMS
+    np.testing.assert_array_equal(
+        np.asarray(a["layers"]["q"]["q"]), np.asarray(b["layers"]["q"]["q"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(a["layers"]["q"]["s"]), np.asarray(b["layers"]["q"]["s"]),
+        rtol=1e-6,
+    )
+    cfg4 = CFG.replace(w_bits=4)
+    a4 = Q.quantize_params_host(host, cfg4)
+    b4 = Q.quantize_params(PARAMS, cfg4)
+    np.testing.assert_array_equal(
+        np.asarray(a4["layers"]["down"]["q"]), np.asarray(b4["layers"]["down"]["q"])
+    )
