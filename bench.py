@@ -37,7 +37,8 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     if on_tpu:
         cfg_q = TINYLLAMA_1B.replace(
-            w_bits=8, a_bits=8, kv_bits=16, use_flash_attention=True
+            w_bits=8, a_bits=8, kv_bits=16,
+            use_flash_attention=True, fused_qat_matmul=True,
         )
         batch, seq = 4, 2048
     else:  # CPU smoke: tiny shapes so the line still prints
