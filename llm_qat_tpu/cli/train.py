@@ -49,6 +49,10 @@ def run(
 ) -> dict:
     log = get_logger()
     log.info("model args %s", model_args)
+    if training_args.debug_nans:
+        # the sanitizer mode the reference lacks (SURVEY.md §5 "Race
+        # detection / sanitizers"): fail fast on any NaN in any jitted value
+        jax.config.update("jax_debug_nans", True)
 
     # --- model (train.py:49-70): bit-widths injected into the config copy ---
     bits = dict(

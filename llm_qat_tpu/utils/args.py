@@ -66,6 +66,7 @@ class TrainingArguments:
     seed: int = 0
     max_steps: int = -1                 # -1: derive from epochs x data
     resume_from_checkpoint: bool = False  # restore latest step in output_dir
+    debug_nans: bool = False            # jax nan-checking (SURVEY §5 sanitizers)
     # mesh layout (replaces torchrun/--fsdp flags, run_train.sh:8,42-43)
     mesh_data: int = 1
     mesh_fsdp: int = -1
