@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from llm_qat_tpu.data import dataset as D
-from llm_qat_tpu.models import convert, llama
-from llm_qat_tpu.models.config import LlamaConfig
+from llm_qat_tpu.models import convert
 from llm_qat_tpu.parallel import mesh as pmesh
 from llm_qat_tpu.training import trainer as T
 from llm_qat_tpu.utils import args as A

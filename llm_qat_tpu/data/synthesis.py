@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools
 import json
 import os
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 import jax

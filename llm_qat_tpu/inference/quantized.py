@@ -12,7 +12,6 @@ run exports straight into serving.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, Tuple
 
 import jax

@@ -29,7 +29,6 @@ Numerics kept bit-faithful to the reference:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax

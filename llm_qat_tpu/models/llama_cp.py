@@ -21,7 +21,6 @@ optimizer-state sharding; full FSDP-inside-ring is a later composition).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -20,7 +20,6 @@ kernel grid is (BH, S/bq) and each program streams K/V for one head.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ the bf16 rate on v5e and halve the HBM weight traffic.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
