@@ -170,7 +170,9 @@ class InferenceEngine:
             req = self.queue.popleft()
             # capacity: last cache row is scratch for inactive slots
             prompt = req.prompt[: self.max_len - req.max_new_tokens - 1]
-            bucket = _bucket(len(prompt))
+            # the pow2 bucket must still fit the cache region
+            bucket = min(_bucket(len(prompt)), self.max_len - 1)
+            prompt = prompt[:bucket]
 
             self._reset_slot(b)
             lens = np.array(self.cache["lengths"])

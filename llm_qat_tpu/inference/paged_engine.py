@@ -130,8 +130,14 @@ class PagedInferenceEngine:
 
     def _ensure_capacity(self, b: int, tokens: int) -> bool:
         """Grow slot b's page list to cover ``tokens`` total; False if the
-        pool is dry."""
-        need = self._pages_needed(tokens) - len(self.slot_pages[b])
+        pool is dry. Raises if a single sequence exceeds the block table."""
+        total_pages = self._pages_needed(tokens)
+        if total_pages > self.pcfg.max_pages_per_seq:
+            raise MemoryError(
+                f"sequence needs {total_pages} pages > max_pages_per_seq "
+                f"{self.pcfg.max_pages_per_seq}"
+            )
+        need = total_pages - len(self.slot_pages[b])
         if need <= 0:
             return True
         if need > self.alloc.available:
@@ -169,7 +175,8 @@ class PagedInferenceEngine:
                 continue
             req = self.queue[0]
             prompt = req.prompt[: self.pcfg.max_seq_len - req.max_new_tokens - 1]
-            bucket = _bucket(len(prompt))
+            bucket = min(_bucket(len(prompt)), self.pcfg.max_seq_len - 1)
+            prompt = prompt[:bucket]
             if not self._ensure_capacity(b, bucket):
                 if not any(s is not None for s in self.slots):
                     raise MemoryError(

@@ -165,3 +165,12 @@ def test_quantize_params_host_matches_device():
     np.testing.assert_array_equal(
         np.asarray(a4["layers"]["down"]["q"]), np.asarray(b4["layers"]["down"]["q"])
     )
+
+
+def test_engine_long_prompt_bucket_fits_cache():
+    """A prompt whose pow2 bucket exceeds max_len must not crash prefill."""
+    eng = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=48, dtype=jnp.float32)
+    prompt = list(np.random.default_rng(0).integers(1, CFG.vocab_size, 40))
+    eng.submit(prompt, max_new_tokens=4)
+    done = eng.run()
+    assert len(done) == 1 and len(done[0].output) == 4

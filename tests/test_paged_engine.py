@@ -73,3 +73,16 @@ def test_pool_too_small_raises():
     except MemoryError:
         raised = True
     assert raised
+
+
+def test_sequence_exceeding_block_table_completes_trimmed():
+    """prompt + max_new beyond the per-seq table capacity: the prompt is
+    trimmed (reference behavior for over-long inputs) and the request still
+    completes within capacity rather than overflowing the table."""
+    pe = _paged(n_pages=64, max_batch=1)  # max_pages_per_seq=8 * page 8 = 64
+    pe.submit(list(range(1, 30)), max_new_tokens=60)
+    done = pe.run()
+    assert len(done) == 1
+    assert len(done[0].output) <= 60
+    assert int(pe.lengths[0]) == 0  # slot freed
+    assert pe.alloc.available == 63  # all pages returned
