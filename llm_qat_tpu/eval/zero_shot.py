@@ -75,30 +75,38 @@ def score_examples(
             rows.append(np.asarray(ids, np.int32))
             row_meta.append((ei, ci, len(ex.context)))
 
-    if max_len is None:
-        max_len = max(len(r) for r in rows)
-    n = len(rows)
-    pad_rows = (-n) % batch_rows
     scores = np.full((len(examples), max(len(e.choices) for e in examples)), -np.inf)
     norm_scores = np.full_like(scores, -np.inf)
-
     fn = _logprob_fn(config, compute_dtype)
-    for start in range(0, n, batch_rows):
-        chunk = rows[start : start + batch_rows]
-        meta = row_meta[start : start + batch_rows]
-        b = len(chunk)
-        ids = np.zeros((batch_rows, max_len), np.int32)
-        attn = np.zeros((batch_rows, max_len), np.int32)
-        tmask = np.zeros((batch_rows, max_len), np.int32)
-        for i, (r, (ei, ci, ctx_len)) in enumerate(zip(chunk, meta)):
-            L = min(len(r), max_len)
+
+    def pow2_bucket(n: int, lo: int = 32) -> int:
+        b = lo
+        while b < n:
+            b *= 2
+        return b
+
+    # bucket rows by pow2 length so short rows don't pay the longest row's
+    # compute, and the jit compiles once per bucket (TPU-friendly shapes)
+    order = sorted(range(len(rows)), key=lambda i: len(rows[i]))
+    for start in range(0, len(order), batch_rows):
+        idxs = order[start : start + batch_rows]
+        longest = max(len(rows[i]) for i in idxs)
+        blen = min(pow2_bucket(longest), max_len) if max_len else pow2_bucket(longest)
+        b = len(idxs)
+        ids = np.zeros((batch_rows, blen), np.int32)
+        attn = np.zeros((batch_rows, blen), np.int32)
+        tmask = np.zeros((batch_rows, blen), np.int32)
+        for i, ri in enumerate(idxs):
+            r = rows[ri]
+            ctx_len = row_meta[ri][2]
+            L = min(len(r), blen)
             ids[i, :L] = r[:L]
             attn[i, :L] = 1
             tmask[i, min(ctx_len, L) : L] = 1
         s, cnt = fn(params, jnp.asarray(ids), jnp.asarray(attn), jnp.asarray(tmask))
         s, cnt = np.asarray(s), np.asarray(cnt)
-        for i in range(b):
-            ei, ci, _ = meta[i]
+        for i, ri in enumerate(idxs):
+            ei, ci, _ = row_meta[ri]
             scores[ei, ci] = s[i]
             norm_scores[ei, ci] = s[i] / max(cnt[i], 1)
 

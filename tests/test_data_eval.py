@@ -142,3 +142,19 @@ def test_step_timer():
     s = t.summary()
     assert s["step_time_s"] > 0 and s["tokens_per_s"] > 0
     assert t.steps_timed == 2  # 4 ticks -> 3 intervals -> 1 warmup dropped
+
+
+def test_zero_shot_bucketing_mixed_lengths():
+    """Mixed-length examples must score identically regardless of batching
+    order (bucketing bookkeeping correctness)."""
+    cfg = TINY_TEST
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    exs = []
+    for i in range(6):
+        ctx = list(rng.integers(1, cfg.vocab_size, 3 + 7 * (i % 3)))
+        choices = [list(rng.integers(1, cfg.vocab_size, 2 + i % 2)) for _ in range(2)]
+        exs.append(Z.MCExample(ctx, choices, gold=i % 2))
+    a = Z.score_examples(params, cfg, exs, batch_rows=2, compute_dtype=jnp.float32)
+    b = Z.score_examples(params, cfg, exs, batch_rows=16, compute_dtype=jnp.float32)
+    assert a["acc"] == b["acc"] and a["acc_norm"] == b["acc_norm"]
