@@ -64,9 +64,11 @@ def _serving_layer(
     max_len = k_q.shape[1]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
-    q = Q.quant_linear(x, lq["q"], c.w_bits, out_dtype=dtype)
-    k = Q.quant_linear(x, lq["k"], c.w_bits, out_dtype=dtype)
-    v = Q.quant_linear(x, lq["v"], c.w_bits, out_dtype=dtype)
+    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
+    q_dim, kv_dim = nh * hd, kvh * hd
+    q = qkv[..., :q_dim]
+    k = qkv[..., q_dim : q_dim + kv_dim]
+    v = qkv[..., q_dim + kv_dim :]
 
     # quantize new K/V per-token pre-RoPE (training hook point) and write
     # each slot's rows at its own offset
@@ -106,8 +108,8 @@ def _serving_layer(
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
-    gate = Q.quant_linear(x, lq["gate"], c.w_bits, out_dtype=dtype)
-    up = Q.quant_linear(x, lq["up"], c.w_bits, out_dtype=dtype)
+    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
+    gate, up = jnp.split(gateup, 2, axis=-1)
     x = Q.quant_linear(
         jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype
     )

@@ -76,9 +76,11 @@ def _paged_layer(
     k_q, k_s, v_q, v_s = kv_pool
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
-    q = Q.quant_linear(x, lq["q"], c.w_bits, out_dtype=dtype)
-    k = Q.quant_linear(x, lq["k"], c.w_bits, out_dtype=dtype)
-    v = Q.quant_linear(x, lq["v"], c.w_bits, out_dtype=dtype)
+    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
+    q_dim, kv_dim2 = nh * hd, kvh * hd
+    q = qkv[..., :q_dim]
+    k = qkv[..., q_dim : q_dim + kv_dim2]
+    v = qkv[..., q_dim + kv_dim2 :]
 
     nk_q, nk_s = Q.quantize_kv(k, kb)
     nv_q, nv_s = Q.quantize_kv(v, kb)
@@ -124,8 +126,8 @@ def _paged_layer(
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
-    gate = Q.quant_linear(x, lq["gate"], c.w_bits, out_dtype=dtype)
-    up = Q.quant_linear(x, lq["up"], c.w_bits, out_dtype=dtype)
+    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
+    gate, up = jnp.split(gateup, 2, axis=-1)
     x = Q.quant_linear(jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype)
     return h + x, (k_q, k_s, v_q, v_s)
 

@@ -21,6 +21,11 @@ from llm_qat_tpu.models.config import LlamaConfig
 from llm_qat_tpu.ops.pallas import quant_matmul as QM
 
 _PROJ_KEYS = ("q", "k", "v", "o", "gate", "up", "down")
+# serving fuses shared-input projections into single wider matmuls — fewer,
+# larger kernels stream weights better at decode sizes; per-output-channel
+# quantization is column-independent so fusion changes no numerics
+_FUSED_GROUPS = {"qkv": ("q", "k", "v"), "gateup": ("gate", "up")}
+_FUSED_SINGLES = ("o", "down")
 
 
 def quantize_params(params: Dict[str, Any], config: LlamaConfig) -> Dict[str, Any]:
@@ -46,16 +51,20 @@ def quantize_params(params: Dict[str, Any], config: LlamaConfig) -> Dict[str, An
     if "lm_head" in params:
         out["lm_head"] = params["lm_head"]
 
-    for key in _PROJ_KEYS:
-        w = params["layers"][key]  # [L, K, N]
+    def quantize(w):
         if w_bits >= 16:
-            out["layers"][key] = {"w": w}
-            continue
+            return {"w": w}
         if w_bits == 8:
             q, s = jax.vmap(lambda wl: QM.quantize_per_channel(wl, 8))(w)
         else:  # 4
             q, s = jax.vmap(QM.quantize_weights_w4)(w)
-        out["layers"][key] = {"q": q, "s": s}
+        return {"q": q, "s": s}
+
+    for name, parts in _FUSED_GROUPS.items():
+        w = jnp.concatenate([params["layers"][k] for k in parts], axis=-1)
+        out["layers"][name] = quantize(w)
+    for key in _FUSED_SINGLES:
+        out["layers"][key] = quantize(params["layers"][key])
     return out
 
 
@@ -92,11 +101,10 @@ def quantize_params_host(
         out["lm_head"] = put(params_host["lm_head"], jnp.bfloat16)
 
     qmax = float(2 ** (w_bits - 1) - 1) if w_bits < 16 else None
-    for key in _PROJ_KEYS:
-        w = np.asarray(params_host["layers"][key], np.float32)  # [L, K, N]
+
+    def quantize_np(w):
         if w_bits >= 16:
-            out["layers"][key] = {"w": put(w, jnp.bfloat16)}
-            continue
+            return {"w": put(w, jnp.bfloat16)}
         absmax = np.max(np.abs(w), axis=1, keepdims=True)
         s = qmax / (absmax + 1e-6)
         q = np.rint(w * s).astype(np.int8)
@@ -104,7 +112,18 @@ def quantize_params_host(
             lo = (q[:, 0::2].astype(np.uint8)) & 0xF
             hi = (q[:, 1::2].astype(np.uint8)) & 0xF
             q = (hi << 4 | lo).astype(np.uint8)
-        out["layers"][key] = {"q": put(q), "s": put(s, jnp.float32)}
+        return {"q": put(q), "s": put(s, jnp.float32)}
+
+    for name, parts in _FUSED_GROUPS.items():
+        w = np.concatenate(
+            [np.asarray(params_host["layers"][k], np.float32) for k in parts],
+            axis=-1,
+        )
+        out["layers"][name] = quantize_np(w)
+    for key in _FUSED_SINGLES:
+        out["layers"][key] = quantize_np(
+            np.asarray(params_host["layers"][key], np.float32)
+        )
     return out
 
 

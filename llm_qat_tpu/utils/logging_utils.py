@@ -36,12 +36,19 @@ def get_logger(name: str = "llm_qat_tpu", rank0_only: bool = True) -> logging.Lo
 
 
 class MetricsLogger:
-    """Per-step scalar metrics: JSONL file + optional TensorBoard."""
+    """Per-step scalar metrics: JSONL file + optional TensorBoard.
 
-    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: bool = True):
+    TensorBoard mirroring is opt-in via ``LLM_QAT_TENSORBOARD=1``:
+    tensorboardX's event writer forks a subprocess, which can abort a
+    process with live XLA threads (observed as nondeterministic
+    "Fatal Python error: Aborted" during later jax dispatches)."""
+
+    def __init__(self, log_dir: Optional[str] = None, use_tensorboard: Optional[bool] = None):
         self.log_dir = log_dir
         self._jsonl = None
         self._tb = None
+        if use_tensorboard is None:
+            use_tensorboard = os.environ.get("LLM_QAT_TENSORBOARD") == "1"
         if log_dir and jax.process_index() == 0:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")

@@ -20,18 +20,23 @@ QPARAMS = Q.quantize_params(PARAMS, CFG)
 
 
 def test_quantize_params_structure():
-    q = QPARAMS["layers"]["q"]
-    assert q["q"].dtype == jnp.int8
-    assert q["q"].shape == PARAMS["layers"]["q"].shape
-    assert q["s"].shape == (CFG.num_hidden_layers, 1, PARAMS["layers"]["q"].shape[-1])
+    qkv = QPARAMS["layers"]["qkv"]
+    n_out = (
+        PARAMS["layers"]["q"].shape[-1]
+        + PARAMS["layers"]["k"].shape[-1]
+        + PARAMS["layers"]["v"].shape[-1]
+    )
+    assert qkv["q"].dtype == jnp.int8
+    assert qkv["q"].shape == PARAMS["layers"]["q"].shape[:-1] + (n_out,)
+    assert qkv["s"].shape == (CFG.num_hidden_layers, 1, n_out)
 
 
 def test_w4_packing_structure():
     cfg4 = CFG.replace(w_bits=4)
     qp = Q.quantize_params(PARAMS, cfg4)
-    gate = qp["layers"]["gate"]
-    assert gate["q"].dtype == jnp.uint8
-    assert gate["q"].shape[1] == PARAMS["layers"]["gate"].shape[1] // 2
+    gu = qp["layers"]["gateup"]
+    assert gu["q"].dtype == jnp.uint8
+    assert gu["q"].shape[1] == PARAMS["layers"]["gate"].shape[1] // 2
 
 
 def test_serving_logits_match_training_model():
@@ -153,10 +158,10 @@ def test_quantize_params_host_matches_device():
     a = Q.quantize_params_host(host, CFG)
     b = QPARAMS
     np.testing.assert_array_equal(
-        np.asarray(a["layers"]["q"]["q"]), np.asarray(b["layers"]["q"]["q"])
+        np.asarray(a["layers"]["qkv"]["q"]), np.asarray(b["layers"]["qkv"]["q"])
     )
     np.testing.assert_allclose(
-        np.asarray(a["layers"]["q"]["s"]), np.asarray(b["layers"]["q"]["s"]),
+        np.asarray(a["layers"]["qkv"]["s"]), np.asarray(b["layers"]["qkv"]["s"]),
         rtol=1e-6,
     )
     cfg4 = CFG.replace(w_bits=4)
