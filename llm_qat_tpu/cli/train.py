@@ -124,6 +124,9 @@ def run(
         grad_accum_steps=training_args.gradient_accumulation_steps,
         remat=training_args.gradient_checkpointing,
         compute_dtype=dtype,
+        # chunk the fp32 KL reduction over the sequence so the [b,s,V]
+        # logits slabs never fully materialize at 2048x32k (SURVEY §7)
+        kl_chunk=256 if training_args.model_max_length >= 1024 else 0,
     )
     tr = T.Trainer(
         config, tcfg, params, teacher_params, teacher_cfg=teacher_cfg, mesh=mesh
