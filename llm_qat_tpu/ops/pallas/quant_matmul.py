@@ -186,16 +186,15 @@ def pack_int4(q: jax.Array) -> jax.Array:
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
-    """Inverse of pack_int4 -> [K, N] int8 (sign-extended nibbles)."""
+    """Inverse of pack_int4 -> [K, N] int8 (sign-extended nibbles).
+    Interleaves via stack+reshape — no scatter (strided .at[::2] scatters
+    lower to pathologically slow compiles inside scanned decode loops)."""
     lo = (packed & 0xF).astype(jnp.int8)
     hi = (packed >> 4).astype(jnp.int8)
     lo = jnp.where(lo >= 8, lo - 16, lo)
     hi = jnp.where(hi >= 8, hi - 16, hi)
     K2, N = packed.shape
-    out = jnp.zeros((K2 * 2, N), jnp.int8)
-    out = out.at[0::2].set(lo)
-    out = out.at[1::2].set(hi)
-    return out
+    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
 
 
 def quantize_weights_w4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
