@@ -109,8 +109,11 @@ def quantize_params_host(
         s = qmax / (absmax + 1e-6)
         q = np.rint(w * s).astype(np.int8)
         if w_bits == 4:
-            lo = (q[:, 0::2].astype(np.uint8)) & 0xF
-            hi = (q[:, 1::2].astype(np.uint8)) & 0xF
+            # split-half packing along K (axis 1 of [L, K, N]); must match
+            # QM.pack_int4's layout: top-half K rows ride in the high nibble
+            kh = q.shape[1] // 2
+            lo = (q[:, :kh].astype(np.uint8)) & 0xF
+            hi = (q[:, kh:].astype(np.uint8)) & 0xF
             q = (hi << 4 | lo).astype(np.uint8)
         return {"q": put(q), "s": put(s, jnp.float32)}
 

