@@ -2,16 +2,22 @@
 
 Mirrors the numerics of the training model (models/llama.py) exactly:
   * KV is quantized per-token pre-RoPE (modeling_llama_quant.py:320-333);
-    the cache stores the *integer* K/V and per-token scales, and RoPE is
-    applied after dequantization — algebraically identical to the training
-    path's RoPE(fake_quant(k)) since RoPE is linear per 2-plane;
+    the cache stores the *integer* K/V and per-token inverse scales, and
+    RoPE is applied after dequantization — algebraically identical to the
+    training path's RoPE(fake_quant(k)) since RoPE is linear per 2-plane;
   * weight matmuls run on the int8/int4 MXU kernels
     (ops/pallas/quant_matmul.py) with per-channel scales;
   * fp32 softmax, RMSNorm, unquantized lm_head as in training.
 
+Cache layout is head-major — ``[L, b, kvh, S, hd]`` int8 + per-token f32
+inverse scales ``[L, b, S]`` — so the fused decode-attention kernel
+(ops/pallas/decode_attention.py) streams contiguous per-head blocks straight
+from the int8 cache: dequant, RoPE, and online softmax never leave VMEM.
+Prefill (s>1) uses the XLA path over the same cache.
+
 Ragged continuous batching: every slot carries its own length; the decode
 step is one jitted call over ``[B]`` tokens with per-slot positions and
-masks, and prefill writes a single slot's pages via dynamic_update_slice.
+masks, and prefill writes a single slot's rows via dynamic_update_slice.
 """
 
 from __future__ import annotations
@@ -25,6 +31,7 @@ import jax.numpy as jnp
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import LlamaConfig
 from llm_qat_tpu.inference import quantized as Q
+from llm_qat_tpu.ops.pallas import decode_attention as DA
 
 _NEG_INF = -1e9
 
@@ -32,17 +39,41 @@ _NEG_INF = -1e9
 def init_serving_cache(
     config: LlamaConfig, batch: int, max_len: int
 ) -> Dict[str, jax.Array]:
-    """int8 KV cache + f32 per-token scales, stacked over layers."""
+    """Head-major int8 KV cache + f32 per-token inverse scales, stacked
+    over layers."""
     c = config
-    kv_dim = c.kv_heads * c.head_dim
-    shape = (c.num_hidden_layers, batch, max_len, kv_dim)
+    shape = (c.num_hidden_layers, batch, c.kv_heads, max_len, c.head_dim)
+    sshape = (c.num_hidden_layers, batch, max_len)
     return {
         "k_q": jnp.zeros(shape, jnp.int8),
-        "k_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+        "k_s": jnp.ones(sshape, jnp.float32),
         "v_q": jnp.zeros(shape, jnp.int8),
-        "v_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+        "v_s": jnp.ones(sshape, jnp.float32),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
+
+
+def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits):
+    """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
+    at its own offset into head-major (cache_q [b, kvh, S, hd],
+    cache_s [b, S])."""
+    b, s, _ = new.shape
+    nq, ns = Q.quantize_kv(new, kv_bits)          # int8 [b,s,kv_dim], s [b,s,1]
+    inv = (1.0 / (ns + 1e-6))[..., 0]             # [b, s] inverse scales
+    nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)  # [b, kvh, s, hd]
+
+    def write_row(cq, cs, q_new, s_new, wp):
+        cq = jax.lax.dynamic_update_slice(cq, q_new, (0, wp, 0))
+        cs = jax.lax.dynamic_update_slice(cs, s_new, (wp,))
+        return cq, cs
+
+    return jax.vmap(write_row)(cache_q, cache_s, nq, inv, write_pos)
+
+
+def _dequant_head_major(cq, cs, dtype):
+    """[b, kvh, S, hd] int8 + [b, S] inv scales -> [b, S, kvh, hd]."""
+    d = cq.astype(jnp.float32) * cs[:, None, :, None]
+    return d.transpose(0, 2, 1, 3).astype(dtype)
 
 
 def _serving_layer(
@@ -52,7 +83,7 @@ def _serving_layer(
     positions: jax.Array,    # [b, s]
     kv_layer: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
     write_pos: jax.Array,    # [b] write offset per slot
-    kv_valid: jax.Array,     # [b, max_len] bool — which cache entries attend
+    new_len: jax.Array,      # [b] valid length after this step's write
     dtype,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
     c = config
@@ -61,7 +92,7 @@ def _serving_layer(
     kb = c.kv_bits if c.kv_bits < 32 else 8  # cache is int8 storage
 
     k_q, k_s, v_q, v_s = kv_layer
-    max_len = k_q.shape[1]
+    max_len = k_q.shape[2]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
     qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
@@ -71,39 +102,39 @@ def _serving_layer(
     v = qkv[..., q_dim + kv_dim :]
 
     # quantize new K/V per-token pre-RoPE (training hook point) and write
-    # each slot's rows at its own offset
-    nk_q, nk_s = Q.quantize_kv(k, kb)
-    nv_q, nv_s = Q.quantize_kv(v, kb)
-
-    def write_row(cache, new, wp):
-        return jax.lax.dynamic_update_slice(cache, new, (wp, 0))
-
-    k_q = jax.vmap(write_row)(k_q, nk_q, write_pos)
-    k_s = jax.vmap(write_row)(k_s, nk_s, write_pos)
-    v_q = jax.vmap(write_row)(v_q, nv_q, write_pos)
-    v_s = jax.vmap(write_row)(v_s, nv_s, write_pos)
-
-    # dequantize the full cache, reshape to heads, RoPE with absolute positions
-    kd = Q.dequantize_kv(k_q, k_s, dtype).reshape(b, max_len, kvh, hd)
-    vd = Q.dequantize_kv(v_q, v_s, dtype).reshape(b, max_len, kvh, hd)
-    cache_pos = jnp.broadcast_to(
-        jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
-    )
-    kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
-    kd = llama.apply_rope(kd, kcos, ksin)
+    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb)
+    v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb)
 
     qh = q.reshape(b, s, nh, hd)
     qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
     qh = llama.apply_rope(qh, qcos, qsin)
 
-    # mask: cache position j visible to query row (b, i) iff j <= positions[b,i]
-    # and j is a valid entry of the slot
-    vis = (
-        cache_pos[:, None, :] <= positions[:, :, None]
-    ) & kv_valid[:, None, :]  # [b, s, max_len]
-    mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
+    if s == 1 and c.use_decode_kernel:
+        # fused decode kernel: int8 cache blocks stream to VMEM; dequant +
+        # K-RoPE + online softmax in-kernel; per-slot early exit at length
+        attn = DA.quantized_decode_attention(
+            qh[:, 0], k_q, k_s, v_q, v_s, new_len,
+            theta=c.rope_theta,
+        ).reshape(b, 1, nh * hd)
+    else:
+        # XLA prefill path: dequantize the cache, RoPE at absolute positions
+        kd = _dequant_head_major(k_q, k_s, dtype)
+        vd = _dequant_head_major(v_q, v_s, dtype)
+        cache_pos = jnp.broadcast_to(
+            jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
+        )
+        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+        kd = llama.apply_rope(kd, kcos, ksin)
 
-    attn = llama._attend(qh, kd, vd, mask)
+        # mask: cache position j visible to query row (b, i) iff
+        # j <= positions[b,i] and j is a valid entry of the slot
+        kv_valid = cache_pos < new_len[:, None]
+        vis = (
+            cache_pos[:, None, :] <= positions[:, :, None]
+        ) & kv_valid[:, None, :]  # [b, s, max_len]
+        mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
+        attn = llama._attend(qh, kd, vd, mask)
+
     attn = Q.quant_linear(attn, lq["o"], c.w_bits, out_dtype=dtype)
     h = h + attn
 
@@ -131,7 +162,7 @@ def serving_forward(
     position and lengths don't advance)."""
     c = config
     b, s = input_ids.shape
-    max_len = cache["k_q"].shape[2]
+    max_len = cache["k_q"].shape[3]
 
     h = jnp.take(qparams["embed"], input_ids, axis=0).astype(dtype)
     positions = seq_lens[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -139,13 +170,11 @@ def serving_forward(
     # inactive slots write into the last row (scratch) and never validate it
     write_pos = jnp.where(active, seq_lens, max_len - 1).astype(jnp.int32)
     new_len = jnp.where(active, seq_lens + s, seq_lens)
-    kv_pos = jnp.arange(max_len, dtype=jnp.int32)
-    kv_valid = kv_pos[None, :] < new_len[:, None]
 
     def body(h, xs):
         lq, k_q, k_s, v_q, v_s = xs
         out, new_kv = _serving_layer(
-            h, lq, c, positions, (k_q, k_s, v_q, v_s), write_pos, kv_valid,
+            h, lq, c, positions, (k_q, k_s, v_q, v_s), write_pos, new_len,
             dtype,
         )
         return out, new_kv

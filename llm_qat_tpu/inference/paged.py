@@ -3,14 +3,18 @@
 North-star serving extension with no reference counterpart: instead of one
 contiguous ``[b, max_len]`` region per slot (inference/model.py), K/V live
 in a global pool of fixed-size **pages** shared by all slots —
-``[L, n_pages, page_size, kv_dim]`` int8 + per-token scales — and each slot
-maps logical positions to pages through a block table. Capacity is pooled:
-total tokens = n_pages x page_size regardless of how they distribute over
-slots, so long and short requests mix without reserving worst-case memory.
+``[L, n_pages, kvh, page_size, hd]`` int8 + per-token inverse scales — and
+each slot maps logical positions to pages through a block table. Capacity
+is pooled: total tokens = n_pages x page_size regardless of how they
+distribute over slots, so long and short requests mix without reserving
+worst-case memory.
 
 The attention math is identical to the contiguous path (same pre-RoPE int8
-storage, per-token scales, fp32 softmax); reads gather a slot's pages with
-``jnp.take`` and writes scatter (page, offset) rows — both static-shaped.
+storage, per-token scales, fp32 softmax). Decode (s=1) runs the fused
+paged-attention Pallas kernel (ops/pallas/decode_attention.py): the grid
+walks each slot's block table via scalar prefetch, so pages stream from
+the int8 pool straight into VMEM with no gather materialization. Prefill
+gathers pages with ``jnp.take`` (XLA path).
 """
 
 from __future__ import annotations
@@ -25,6 +29,7 @@ import jax.numpy as jnp
 from llm_qat_tpu.inference import quantized as Q
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import LlamaConfig
+from llm_qat_tpu.ops.pallas import decode_attention as DA
 
 _NEG_INF = -1e9
 
@@ -44,14 +49,41 @@ def init_paged_cache(
     config: LlamaConfig, pcfg: PagedConfig
 ) -> Dict[str, jax.Array]:
     c = config
-    kv_dim = c.kv_heads * c.head_dim
-    shape = (c.num_hidden_layers, pcfg.n_pages, pcfg.page_size, kv_dim)
+    shape = (
+        c.num_hidden_layers, pcfg.n_pages, c.kv_heads, pcfg.page_size,
+        c.head_dim,
+    )
+    sshape = (c.num_hidden_layers, pcfg.n_pages, pcfg.page_size)
     return {
         "k_q": jnp.zeros(shape, jnp.int8),
-        "k_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+        "k_s": jnp.ones(sshape, jnp.float32),
         "v_q": jnp.zeros(shape, jnp.int8),
-        "v_s": jnp.ones(shape[:-1] + (1,), jnp.float32),
+        "v_s": jnp.ones(sshape, jnp.float32),
     }
+
+
+def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits):
+    """Quantize ``new`` [b, s, kvh*hd] per-token and scatter rows into the
+    head-major pool at (page, offset)."""
+    b, s, _ = new.shape
+    nq, ns = Q.quantize_kv(new, kv_bits)
+    inv = (1.0 / (ns + 1e-6))[..., 0]                    # [b, s]
+    nq = nq.reshape(b * s, kvh, hd)
+    pg = pages.reshape(-1)
+    of = offsets.reshape(-1)
+    pool_q = pool_q.at[pg, :, of].set(nq)                # [n, kvh, hd] rows
+    pool_s = pool_s.at[pg, of].set(inv.reshape(-1))
+    return pool_q, pool_s
+
+
+def _gather_dequant(pool_q, pool_s, block_tables, dtype):
+    """Pool + block table -> [b, max_tok, kvh, hd] dequantized (XLA path)."""
+    b, mp = block_tables.shape
+    g = jnp.take(pool_q, block_tables, axis=0)           # [b, mp, kvh, P, hd]
+    s = jnp.take(pool_s, block_tables, axis=0)           # [b, mp, P]
+    d = g.astype(jnp.float32) * s[:, :, None, :, None]
+    d = d.transpose(0, 1, 3, 2, 4)                       # [b, mp, P, kvh, hd]
+    return d.reshape(b, mp * g.shape[3], *d.shape[3:]).astype(dtype)
 
 
 def _paged_layer(
@@ -64,7 +96,7 @@ def _paged_layer(
     kv_pool: Tuple[jax.Array, jax.Array, jax.Array, jax.Array],
     write_pages: jax.Array,    # [b, s] destination page id per new token
     write_offsets: jax.Array,  # [b, s] destination offset per new token
-    kv_valid: jax.Array,       # [b, max_tok] which gathered entries attend
+    new_len: jax.Array,        # [b] valid length after this step's write
     dtype,
 ):
     c = config
@@ -82,46 +114,35 @@ def _paged_layer(
     k = qkv[..., q_dim : q_dim + kv_dim2]
     v = qkv[..., q_dim + kv_dim2 :]
 
-    nk_q, nk_s = Q.quantize_kv(k, kb)
-    nv_q, nv_s = Q.quantize_kv(v, kb)
-
-    # scatter new rows into (page, offset) slots — distinct destinations
-    pg = write_pages.reshape(-1)
-    of = write_offsets.reshape(-1)
-    k_q = k_q.at[pg, of].set(nk_q.reshape(b * s, -1))
-    k_s = k_s.at[pg, of].set(nk_s.reshape(b * s, -1))
-    v_q = v_q.at[pg, of].set(nv_q.reshape(b * s, -1))
-    v_s = v_s.at[pg, of].set(nv_s.reshape(b * s, -1))
-
-    # gather each slot's pages -> [b, max_tok, kv_dim]
-    max_tok = block_tables.shape[1] * P
-
-    def gather(pool):
-        g = jnp.take(pool, block_tables, axis=0)  # [b, max_pages, P, ...]
-        return g.reshape(b, max_tok, *pool.shape[2:])[..., :]
-
-    kd = Q.dequantize_kv(gather(k_q), gather(k_s), dtype).reshape(
-        b, max_tok, kvh, hd
-    )
-    vd = Q.dequantize_kv(gather(v_q), gather(v_s), dtype).reshape(
-        b, max_tok, kvh, hd
-    )
-    cache_pos = jnp.broadcast_to(
-        jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
-    )
-    kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
-    kd = llama.apply_rope(kd, kcos, ksin)
+    k_q, k_s = _write_pool(k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb)
+    v_q, v_s = _write_pool(v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb)
 
     qh = q.reshape(b, s, nh, hd)
     qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
     qh = llama.apply_rope(qh, qcos, qsin)
 
-    vis = (
-        cache_pos[:, None, :] <= positions[:, :, None]
-    ) & kv_valid[:, None, :]
-    mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
+    if s == 1 and c.use_decode_kernel:
+        attn = DA.quantized_paged_attention(
+            qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables,
+            theta=c.rope_theta,
+        ).reshape(b, 1, nh * hd)
+    else:
+        max_tok = block_tables.shape[1] * P
+        kd = _gather_dequant(k_q, k_s, block_tables, dtype)
+        vd = _gather_dequant(v_q, v_s, block_tables, dtype)
+        cache_pos = jnp.broadcast_to(
+            jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
+        )
+        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+        kd = llama.apply_rope(kd, kcos, ksin)
 
-    attn = llama._attend(qh, kd, vd, mask)
+        kv_valid = cache_pos < new_len[:, None]
+        vis = (
+            cache_pos[:, None, :] <= positions[:, :, None]
+        ) & kv_valid[:, None, :]
+        mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
+        attn = llama._attend(qh, kd, vd, mask)
+
     attn = Q.quant_linear(attn, lq["o"], c.w_bits, out_dtype=dtype)
     h = h + attn
 
@@ -167,14 +188,12 @@ def paged_forward(
     pages = jnp.where(active[:, None], pages, scratch)
 
     new_len = jnp.where(active, seq_lens + s, seq_lens)
-    max_tok = block_tables.shape[1] * P
-    kv_valid = jnp.arange(max_tok, dtype=jnp.int32)[None, :] < new_len[:, None]
 
     def body(h, xs):
         lq, k_q, k_s, v_q, v_s = xs
         out, kv = _paged_layer(
             h, lq, c, pcfg, positions, block_tables,
-            (k_q, k_s, v_q, v_s), pages, offsets, kv_valid, dtype,
+            (k_q, k_s, v_q, v_s), pages, offsets, new_len, dtype,
         )
         return out, kv
 

@@ -159,9 +159,7 @@ def quant_linear(
 def quantize_kv(x: jax.Array, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
     """[b, s, kv_dim] -> (int8 [b, s, kv_dim], scales [b, s, 1]) — the
     serving materialization of the per-token KV fake-quant
-    (modeling_llama_quant.py:320-333)."""
+    (modeling_llama_quant.py:320-333). Caches store the *inverse* scale
+    ``1/(s+1e-6)`` so dequant is a multiply (reference semantics:
+    ``round(x*s)/(s+1e-6)``, utils_quant.py:71-72)."""
     return QM.quantize_per_token(x, bits)
-
-
-def dequantize_kv(q: jax.Array, s: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    return (q.astype(jnp.float32) / (s + 1e-6)).astype(dtype)

@@ -36,6 +36,7 @@ class LlamaConfig:
     kv_bits: int = 32
     symmetric: bool = True        # act quantizer choice (utils_quant.py:184-188)
     use_flash_attention: bool = False  # Pallas blockwise attention (training fwd)
+    use_decode_kernel: bool = True     # fused int8-KV decode attention (serving)
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False
