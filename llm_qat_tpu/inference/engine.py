@@ -54,6 +54,12 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
+def _single_device_forward(qparams, ids, lens, active, cache, *, config, dtype):
+    return M.serving_forward(
+        qparams, config, ids, lens, active, cache, dtype=dtype
+    )
+
+
 def _sample_tokens(logits, temps, top_k, key):
     """Per-row sampling: greedy where temp<=0, else top-k temperature."""
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -66,10 +72,10 @@ def _sample_tokens(logits, temps, top_k, key):
     return jnp.where(temps > 0, sampled, greedy)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "n_steps", "top_k", "dtype"))
+@functools.partial(jax.jit, static_argnames=("fwd", "n_steps", "top_k"))
 def _decode_chunk(
+    fwd,                  # static: fn(qparams, ids, lens, active, cache)
     qparams,
-    config: LlamaConfig,
     logits0: jax.Array,   # [b, V] — logits to sample the first token from
     temps: jax.Array,     # [b]
     active: jax.Array,    # [b] bool
@@ -77,17 +83,18 @@ def _decode_chunk(
     key: jax.Array,
     n_steps: int,
     top_k: int,
-    dtype=jnp.bfloat16,
 ):
-    """Sample+decode ``n_steps`` tokens entirely on device."""
+    """Sample+decode ``n_steps`` tokens entirely on device. ``fwd`` is the
+    engine's forward step — single-device or tensor-parallel
+    (inference/sharded.py); the engine passes the same callable every call
+    so this compiles once per engine."""
 
     def body(carry, _):
         logits, cache, key = carry
         key, sub = jax.random.split(key)
         tok = _sample_tokens(logits, temps, top_k, sub)
-        new_logits, cache = M.serving_forward(
-            qparams, config, tok[:, None], cache["lengths"], active, cache,
-            dtype=dtype,
+        new_logits, cache = fwd(
+            qparams, tok[:, None], cache["lengths"], active, cache
         )
         return (new_logits[:, 0], cache, key), tok
 
@@ -109,26 +116,41 @@ class InferenceEngine:
         top_k: int = 50,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
-        self.qparams = qparams
+        """``mesh``: a 1-axis ``('tp',)`` jax Mesh makes the engine
+        tensor-parallel — pass ``qparams`` in the tp-interleaved layout
+        (sharded.quantize_params_tp with tp = mesh size); the engine places
+        params and cache on the mesh. ``mesh=None`` is the single-device
+        engine (qparams from quantized.quantize_params)."""
         self.config = config
         self.max_batch = max_batch
         self.max_len = max_len
         self.steps_per_sync = steps_per_sync
         self.top_k = top_k
         self.dtype = dtype
-        self.cache = M.init_serving_cache(config, max_batch, max_len)
+        self.mesh = mesh
+        if mesh is None:
+            self.qparams = qparams
+            self.cache = M.init_serving_cache(config, max_batch, max_len)
+            self._fwd = functools.partial(
+                _single_device_forward, config=config, dtype=dtype
+            )
+        else:
+            from llm_qat_tpu.inference import sharded as S
+
+            self.qparams = S.place(qparams, mesh, S.qparam_specs(qparams))
+            self.cache = S.init_serving_cache_tp(
+                config, max_batch, max_len, mesh
+            )
+            self._fwd = S.make_tp_forward(config, mesh, qparams, dtype=dtype)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._uid = 0
         self._key = jax.random.PRNGKey(seed)
         # held logits for the next sample, one row per slot
         self._logits = np.zeros((max_batch, config.vocab_size), np.float32)
-        self._prefill = jax.jit(
-            lambda qp, ids, lens, act, cache: M.serving_forward(
-                qp, config, ids, lens, act, cache, dtype=dtype
-            )
-        )
+        self._prefill = jax.jit(self._fwd)
 
     # ------------------------------------------------------------------ API
 
@@ -223,8 +245,8 @@ class InferenceEngine:
         self._key, sub = jax.random.split(self._key)
 
         toks, logits, self.cache = _decode_chunk(
+            self._fwd,
             self.qparams,
-            self.config,
             jnp.asarray(self._logits),
             jnp.asarray(temps),
             jnp.asarray(active),
@@ -232,7 +254,6 @@ class InferenceEngine:
             sub,
             n_steps,
             self.top_k,
-            self.dtype,
         )
         toks_np = np.asarray(toks)
         self._logits = np.array(logits)  # writable copy (prefill writes rows)

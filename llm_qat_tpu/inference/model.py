@@ -53,12 +53,19 @@ def init_serving_cache(
     }
 
 
-def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits):
+def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits, tp_axis=None):
     """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
     at its own offset into head-major (cache_q [b, kvh, S, hd],
-    cache_s [b, S])."""
+    cache_s [b, S]). Under tensor parallelism ``new`` holds the local head
+    shard; the per-token scale is computed from the pmax over shards so the
+    sharded cache holds exactly the single-device integers."""
     b, s, _ = new.shape
-    nq, ns = Q.quantize_kv(new, kv_bits)          # int8 [b,s,kv_dim], s [b,s,1]
+    amax = None
+    if tp_axis is not None:
+        amax = jax.lax.pmax(
+            jnp.max(jnp.abs(new), axis=-1, keepdims=True), tp_axis
+        )
+    nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)  # int8 [b,s,kv], s [b,s,1]
     inv = (1.0 / (ns + 1e-6))[..., 0]             # [b, s] inverse scales
     nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)  # [b, kvh, s, hd]
 
@@ -85,25 +92,31 @@ def _serving_layer(
     write_pos: jax.Array,    # [b] write offset per slot
     new_len: jax.Array,      # [b] valid length after this step's write
     dtype,
+    tp_axis=None,
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
     c = config
     b, s, _ = h.shape
-    hd, nh, kvh = c.head_dim, c.num_attention_heads, c.kv_heads
+    hd = c.head_dim
     kb = c.kv_bits if c.kv_bits < 32 else 8  # cache is int8 storage
 
     k_q, k_s, v_q, v_s = kv_layer
     max_len = k_q.shape[2]
+    # local head counts come from the (possibly tp-sharded) cache / fused
+    # projection shapes; with tp_axis=None these equal the config's counts
+    kvh = k_q.shape[1]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
     qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
-    q_dim, kv_dim = nh * hd, kvh * hd
+    kv_dim = kvh * hd
+    q_dim = qkv.shape[-1] - 2 * kv_dim
+    nh = q_dim // hd
     q = qkv[..., :q_dim]
     k = qkv[..., q_dim : q_dim + kv_dim]
     v = qkv[..., q_dim + kv_dim :]
 
     # quantize new K/V per-token pre-RoPE (training hook point) and write
-    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb)
-    v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb)
+    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis)
+    v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis)
 
     qh = q.reshape(b, s, nh, hd)
     qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
@@ -135,20 +148,26 @@ def _serving_layer(
         mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
         attn = llama._attend(qh, kd, vd, mask)
 
-    attn = Q.quant_linear(attn, lq["o"], c.w_bits, out_dtype=dtype)
+    # o/down are the row-parallel half of the Megatron pair: psum over tp,
+    # chunked so the all-reduce overlaps the next chunk's dequant+matmul
+    nc = 4 if tp_axis is not None else 1
+    attn = Q.quant_linear(
+        attn, lq["o"], c.w_bits, out_dtype=dtype,
+        reduce_axis=tp_axis, n_chunks=nc,
+    )
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
     gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
     gate, up = jnp.split(gateup, 2, axis=-1)
     x = Q.quant_linear(
-        jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype
+        jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype,
+        reduce_axis=tp_axis, n_chunks=nc,
     )
     return h + x, (k_q, k_s, v_q, v_s)
 
 
-@functools.partial(jax.jit, static_argnames=("config", "dtype"))
-def serving_forward(
+def _forward(
     qparams: Dict[str, Any],
     config: LlamaConfig,
     input_ids: jax.Array,    # [b, s] — new tokens per slot (s=1 decode)
@@ -156,10 +175,16 @@ def serving_forward(
     active: jax.Array,       # [b] bool — slots that should update
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
+    tp_axis=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Run ``s`` new tokens for every slot at its own offset. Inactive slots
     compute but don't commit (their cache rows are written at a scratch
-    position and lengths don't advance)."""
+    position and lengths don't advance).
+
+    With ``tp_axis`` this is the shard-local body of the tensor-parallel
+    serving step (inference/sharded.py): qkv/gateup are column-sharded over
+    heads/ffn, the KV cache is sharded over kv heads, o/down psum over the
+    axis, and the vocab-sharded lm_head's logits are all-gathered."""
     c = config
     b, s = input_ids.shape
     max_len = cache["k_q"].shape[3]
@@ -175,7 +200,7 @@ def serving_forward(
         lq, k_q, k_s, v_q, v_s = xs
         out, new_kv = _serving_layer(
             h, lq, c, positions, (k_q, k_s, v_q, v_s), write_pos, new_len,
-            dtype,
+            dtype, tp_axis,
         )
         return out, new_kv
 
@@ -192,7 +217,26 @@ def serving_forward(
     logits = jnp.matmul(
         h, head.astype(h.dtype), preferred_element_type=jnp.float32
     )
+    if tp_axis is not None and "lm_head" in qparams:
+        # lm_head is vocab-sharded; gather the [b, s, V/tp] shards
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     new_cache = {
         "k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s, "lengths": new_len,
     }
     return logits, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def serving_forward(
+    qparams: Dict[str, Any],
+    config: LlamaConfig,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
+    active: jax.Array,
+    cache: Dict[str, jax.Array],
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Single-device serving step (see ``_forward``)."""
+    return _forward(
+        qparams, config, input_ids, seq_lens, active, cache, dtype
+    )

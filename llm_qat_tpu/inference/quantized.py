@@ -131,24 +131,59 @@ def quantize_params_host(
 
 
 def quant_linear(
-    x: jax.Array,           # [..., K] fp
+    x: jax.Array,           # [..., K] fp (K = local shard when reduce_axis)
     qw: Dict[str, jax.Array],
     w_bits: int,
     a_bits: int = 8,
     out_dtype=jnp.bfloat16,
+    reduce_axis: str = None,
+    n_chunks: int = 1,
 ) -> jax.Array:
     """Serving linear: int MXU matmul when quantized, plain matmul else.
-    Leading dims are flattened into the row dim for the kernel."""
+    Leading dims are flattened into the row dim for the kernel.
+
+    ``reduce_axis`` makes this the row-parallel half of the Megatron pair
+    (o/down projections under tensor parallelism): K is sharded over that
+    mesh axis, the per-token activation scale uses the *global* absmax
+    (pmax — so sharded quantization is bit-identical to single-device), and
+    partial outputs are psum'd. With ``n_chunks > 1`` the matmul + psum are
+    chunked over N so the all-reduce of chunk i rides ICI while chunk i+1's
+    dequant+matmul runs on the MXU (north-star collective overlap)."""
     if "w" in qw:  # unquantized
-        return jnp.matmul(x, qw["w"].astype(x.dtype))
+        out = jnp.matmul(x, qw["w"].astype(x.dtype))
+        if reduce_axis is not None:
+            out = jax.lax.psum(out, reduce_axis)
+        return out
     lead = x.shape[:-1]
     K = x.shape[-1]
     x2 = x.reshape(-1, K)
-    if w_bits == 8:
-        out = QM.w8a8_matmul(x2, qw["q"], qw["s"], out_dtype=out_dtype)
-    else:
-        out = QM.w4a8_matmul(x2, qw["q"], qw["s"], out_dtype=out_dtype)
-    return out.reshape(*lead, out.shape[-1])
+
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    if reduce_axis is not None:
+        amax = jax.lax.pmax(amax, reduce_axis)
+    xq, sx = QM.quantize_per_token(x2, a_bits, amax=amax)
+    xq, M = QM._pad_rows(xq, 32)
+    sx, _ = QM._pad_rows(sx, 32)
+
+    mm = QM.int8_matmul if w_bits == 8 else QM.int4_matmul
+    N = qw["s"].shape[-1]
+    if n_chunks <= 1 or N % n_chunks:
+        n_chunks = 1
+    # partials accumulate across devices in f32, one rounding at the end
+    acc_dtype = jnp.float32 if reduce_axis is not None else out_dtype
+    cs = N // n_chunks
+    outs = []
+    for c in range(n_chunks):
+        part = mm(
+            xq, qw["q"][..., c * cs : (c + 1) * cs],
+            sx, qw["s"][..., c * cs : (c + 1) * cs],
+            out_dtype=acc_dtype,
+        )
+        if reduce_axis is not None:
+            part = jax.lax.psum(part, reduce_axis)
+        outs.append(part)
+    out = outs[0] if n_chunks == 1 else jnp.concatenate(outs, axis=-1)
+    return out[:M].astype(out_dtype).reshape(*lead, N)
 
 
 # ---------------------------------------------------------------------------
@@ -156,10 +191,13 @@ def quant_linear(
 # ---------------------------------------------------------------------------
 
 
-def quantize_kv(x: jax.Array, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
+def quantize_kv(
+    x: jax.Array, bits: int = 8, amax: jax.Array = None
+) -> Tuple[jax.Array, jax.Array]:
     """[b, s, kv_dim] -> (int8 [b, s, kv_dim], scales [b, s, 1]) — the
     serving materialization of the per-token KV fake-quant
     (modeling_llama_quant.py:320-333). Caches store the *inverse* scale
     ``1/(s+1e-6)`` so dequant is a multiply (reference semantics:
-    ``round(x*s)/(s+1e-6)``, utils_quant.py:71-72)."""
-    return QM.quantize_per_token(x, bits)
+    ``round(x*s)/(s+1e-6)``, utils_quant.py:71-72). ``amax`` carries the
+    tensor-parallel global absmax (kv_dim sharded over heads)."""
+    return QM.quantize_per_token(x, bits, amax=amax)

@@ -42,11 +42,19 @@ def _interpret() -> bool:
 # ---------------------------------------------------------------------------
 
 
-def quantize_per_token(x: jax.Array, bits: int = 8) -> Tuple[jax.Array, jax.Array]:
+def quantize_per_token(
+    x: jax.Array, bits: int = 8, amax: jax.Array = None
+) -> Tuple[jax.Array, jax.Array]:
     """[... , K] -> (int8 values, f32 scales [..., 1]); symmetric absmax with
-    the reference's +1e-6 (sym_fake_quant per-token semantics)."""
+    the reference's +1e-6 (sym_fake_quant per-token semantics).
+
+    ``amax`` overrides the local absmax — tensor-parallel callers pass the
+    pmax over the sharded K so every shard quantizes with the single-device
+    scale (numerics identical to unsharded)."""
     qmax = float(2 ** (bits - 1) - 1)
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    absmax = (
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True) if amax is None else amax
+    )
     s = qmax / (absmax.astype(jnp.float32) + _EPS)
     q = jnp.round(x.astype(jnp.float32) * s).astype(jnp.int8)
     return q, s
@@ -86,6 +94,43 @@ def _int8_matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
         out_ref[:] = (acc_ref[:].astype(jnp.float32) * inv).astype(out_ref.dtype)
 
 
+def _shrink_to_vmem(
+    M: int, N: int, K: int, bm: int, bn: int, bk: int,
+    out_bytes: int, x_tiles: int = 1,
+) -> Tuple[int, int, int]:
+    """Shrink tile sizes until the kernel's VMEM working set fits.
+
+    Pipeline holds double-buffered x/w/out tiles plus the int32 accumulator;
+    with f32 outputs the decode-tuned defaults (512, 2048, 1024) need ~17.5MB
+    and the Mosaic scoped-vmem limit is 16MB (measured Mosaic overhead over
+    this estimate is ~2MB, hence the 13.5MB budget). Shrink bn first — it
+    halves the f32 out tile + acc together; measured fastest fit for the
+    QAT-forward shape class (M=b*s, f32 out) on v5e. ``x_tiles`` is 2 for
+    the int4 kernel (low/high half activation tiles)."""
+    budget = 27 * 2 ** 19  # 13.5MB
+
+    def usage(bm, bn, bk):
+        return (
+            2 * x_tiles * bm * bk      # int8 x tiles (double-buffered)
+            + 2 * bk * bn              # int8/uint8 w tile
+            + 2 * bm * bn * out_bytes  # out tile
+            + bm * bn * 4              # acc scratch
+            + 8 * (bm + bn)            # scales
+        )
+
+    while usage(bm, bn, bk) > budget:
+        prev = (bm, bn, bk)
+        if bn >= bm and bn > 256:
+            bn = _fit_tile(N, bn // 2)
+        elif bk > 256:
+            bk = _fit_tile(K, bk // 2)
+        elif bm > 256:
+            bm = _fit_tile(M, bm // 2)
+        if (bm, bn, bk) == prev:
+            break
+    return bm, bn, bk
+
+
 def _fit_tile(dim: int, target: int) -> int:
     """Largest divisor of ``dim`` that is <= target, preferring divisors
     aligned to the 256-lane/sublane granularity (a halving-only search lands
@@ -122,6 +167,9 @@ def int8_matmul(
     K2, N = wq.shape
     assert K == K2, (xq.shape, wq.shape)
     bm, bn, bk = _fit_tile(M, bm), _fit_tile(N, bn), _fit_tile(K, bk)
+    bm, bn, bk = _shrink_to_vmem(
+        M, N, K, bm, bn, bk, jnp.dtype(out_dtype).itemsize
+    )
     assert M % bm == 0 and N % bn == 0 and K % bk == 0, (M, N, K, bm, bn, bk)
 
     grid = (M // bm, N // bn, K // bk)
@@ -262,6 +310,9 @@ def int4_matmul(
     Kh, N = w_packed.shape
     assert K == 2 * Kh, (xq.shape, w_packed.shape)
     bm, bn, bk = _fit_tile(M, bm), _fit_tile(N, bn), _fit_tile(Kh, bk)
+    bm, bn, bk = _shrink_to_vmem(
+        M, N, Kh, bm, bn, bk, jnp.dtype(out_dtype).itemsize, x_tiles=2
+    )
     nk = Kh // bk
 
     grid = (M // bm, N // bn, nk)

@@ -1,0 +1,147 @@
+"""Tensor-parallel serving (inference/sharded.py) vs single-device.
+
+The TP engine must reproduce single-device numerics: weight quantization
+happens before sharding, activation/KV per-token scales use the pmax'd
+global absmax, and integer accumulation is exact — so the sharded cache
+holds identical int8 values and logits differ only by f32 partial-sum
+ordering in the row-parallel psum (tolerance ~1e-6 in f32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+from llm_qat_tpu.inference import model as M, quantized as Q, sharded as S
+from llm_qat_tpu.inference.engine import InferenceEngine
+
+
+def _mesh(tp):
+    return Mesh(np.array(jax.devices()[:tp]), ("tp",))
+
+
+@pytest.mark.parametrize("w_bits", [4, 8, 32])
+def test_tp1_layout_matches_single_device(w_bits):
+    cfg = TINY_TEST.replace(w_bits=w_bits, a_bits=8, kv_bits=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    a = Q.quantize_params(params, cfg)
+    b = S.quantize_params_tp(params, cfg, 1)
+    assert jax.tree.all(jax.tree.map(lambda x, y: bool(jnp.all(x == y)), a, b))
+
+
+@pytest.mark.parametrize(
+    "w_bits,kv_bits,tp", [(8, 8, 2), (4, 4, 2), (8, 4, 4), (32, 8, 2)]
+)
+def test_tp_forward_matches_single_device(w_bits, kv_bits, tp):
+    # kvh must divide by tp: use 4 kv heads
+    cfg = TINY_TEST.replace(
+        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    B, L = 2, 32
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, 4), 0, cfg.vocab_size)
+    lens = jnp.zeros((B,), jnp.int32)
+    act = jnp.ones((B,), bool)
+
+    qp1 = Q.quantize_params(params, cfg)
+    c1 = M.init_serving_cache(cfg, B, L)
+    lg1, c1 = M.serving_forward(qp1, cfg, ids, lens, act, c1, dtype=jnp.float32)
+
+    mesh = _mesh(tp)
+    qp2 = S.quantize_params_tp(params, cfg, tp)
+    qp2 = S.place(qp2, mesh, S.qparam_specs(qp2))
+    c2 = S.init_serving_cache_tp(cfg, B, L, mesh)
+    fwd = S.make_tp_forward(cfg, mesh, qp2, dtype=jnp.float32)
+    lg2, c2 = fwd(qp2, ids, lens, act, c2)
+
+    np.testing.assert_allclose(lg1, lg2, atol=5e-4, rtol=5e-4)
+    # layer 0 sees identical inputs, so its sharded cache holds the *exact*
+    # single-device integers and scales; deeper layers inherit ~1-ulp f32
+    # differences from the row-parallel psum's partial-sum ordering
+    assert (np.asarray(c1["k_q"][0]) == np.asarray(c2["k_q"][0])).all()
+    assert (np.asarray(c1["v_q"][0]) == np.asarray(c2["v_q"][0])).all()
+    np.testing.assert_array_equal(
+        np.asarray(c1["k_s"][0]), np.asarray(c2["k_s"][0])
+    )
+    assert (
+        np.abs(
+            np.asarray(c1["k_q"], np.int32) - np.asarray(c2["k_q"], np.int32)
+        ).max() <= 1
+    )
+    np.testing.assert_allclose(
+        np.asarray(c1["k_s"]), np.asarray(c2["k_s"]), rtol=1e-5
+    )
+
+    # ragged decode step (slot 1 inactive) through the fused decode kernel
+    act2 = jnp.array([True, False])
+    tok = jnp.argmax(lg1[:, -1], -1)[:, None].astype(jnp.int32)
+    lg1d, c1 = M.serving_forward(
+        qp1, cfg, tok, c1["lengths"], act2, c1, dtype=jnp.float32
+    )
+    lg2d, c2 = fwd(qp2, tok, c2["lengths"], act2, c2)
+    np.testing.assert_allclose(lg1d, lg2d, atol=5e-4, rtol=5e-4)
+    np.testing.assert_array_equal(
+        np.asarray(c1["lengths"]), np.asarray(c2["lengths"])
+    )
+
+
+@pytest.mark.parametrize("w_bits", [4, 8])
+def test_rowparallel_chunked_quant_linear_matches(w_bits):
+    """quant_linear with reduce_axis + chunked psum == unsharded."""
+    from llm_qat_tpu.ops.pallas import quant_matmul as QM
+
+    tp = 4
+    mesh = _mesh(tp)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64))
+    w = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 32))  # [L=1, K, N]
+
+    q, s = jax.vmap(lambda wl: QM.quantize_per_channel(wl, w_bits))(w)
+    if w_bits == 8:
+        qw_full = {"q": q[0], "s": s[0]}
+        q_row = q[0]
+    else:
+        qw_full = {"q": QM.pack_int4(q[0]), "s": s[0]}
+        q_row = S._pack_int4_rowsharded(q, tp)[0]
+    want = Q.quant_linear(x, qw_full, w_bits, out_dtype=jnp.float32)
+
+    def local(xl, ql, sl):
+        return Q.quant_linear(
+            xl, {"q": ql, "s": sl}, w_bits, out_dtype=jnp.float32,
+            reduce_axis="tp", n_chunks=4,
+        )
+
+    got = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, "tp"), P("tp", None), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(x, q_row, s[0])
+    np.testing.assert_allclose(want, got, atol=1e-5, rtol=1e-5)
+
+
+def test_tp_engine_token_parity():
+    """Greedy continuous batching produces identical tokens with and without
+    tensor parallelism (admissions, ragged slots, retirement included)."""
+    cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    prompts = [[1, 2, 3], [7, 5], [9, 9, 9, 9, 2]]
+
+    eng1 = InferenceEngine(
+        Q.quantize_params(params, cfg), cfg,
+        max_batch=2, max_len=64, steps_per_sync=4, dtype=jnp.float32,
+    )
+    mesh = _mesh(2)
+    eng2 = InferenceEngine(
+        S.quantize_params_tp(params, cfg, 2), cfg,
+        max_batch=2, max_len=64, steps_per_sync=4, dtype=jnp.float32,
+        mesh=mesh,
+    )
+    for eng in (eng1, eng2):
+        for p in prompts:
+            eng.submit(p, max_new_tokens=8)
+    out1 = {r.uid: r.output for r in eng1.run()}
+    out2 = {r.uid: r.output for r in eng2.run()}
+    assert out1 == out2
