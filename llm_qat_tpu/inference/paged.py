@@ -62,11 +62,19 @@ def init_paged_cache(
     }
 
 
-def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits):
+def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
+                tp_axis=None):
     """Quantize ``new`` [b, s, kvh*hd] per-token and scatter rows into the
-    head-major pool at (page, offset)."""
+    head-major pool at (page, offset). Under tensor parallelism ``new`` is
+    the local head shard; the per-token scale comes from the pmax'd global
+    absmax so the sharded pool holds exactly the single-device integers."""
     b, s, _ = new.shape
-    nq, ns = Q.quantize_kv(new, kv_bits)
+    amax = None
+    if tp_axis is not None:
+        amax = jax.lax.pmax(
+            jnp.max(jnp.abs(new), axis=-1, keepdims=True), tp_axis
+        )
+    nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)
     inv = (1.0 / (ns + 1e-6))[..., 0]                    # [b, s]
     nq = nq.reshape(b * s, kvh, hd)
     pg = pages.reshape(-1)
@@ -98,24 +106,34 @@ def _paged_layer(
     write_offsets: jax.Array,  # [b, s] destination offset per new token
     new_len: jax.Array,        # [b] valid length after this step's write
     dtype,
+    tp_axis=None,
 ):
     c = config
     b, s, _ = h.shape
-    hd, nh, kvh = c.head_dim, c.num_attention_heads, c.kv_heads
+    hd = c.head_dim
     P = pcfg.page_size
     kb = c.kv_bits if c.kv_bits < 32 else 8
 
     k_q, k_s, v_q, v_s = kv_pool
+    # local head counts come from the (possibly tp-sharded) pool / fused
+    # projection shapes; with tp_axis=None these equal the config's counts
+    kvh = k_q.shape[1]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
     qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
-    q_dim, kv_dim2 = nh * hd, kvh * hd
+    kv_dim2 = kvh * hd
+    q_dim = qkv.shape[-1] - 2 * kv_dim2
+    nh = q_dim // hd
     q = qkv[..., :q_dim]
     k = qkv[..., q_dim : q_dim + kv_dim2]
     v = qkv[..., q_dim + kv_dim2 :]
 
-    k_q, k_s = _write_pool(k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb)
-    v_q, v_s = _write_pool(v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb)
+    k_q, k_s = _write_pool(
+        k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis
+    )
+    v_q, v_s = _write_pool(
+        v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis
+    )
 
     qh = q.reshape(b, s, nh, hd)
     qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
@@ -143,20 +161,26 @@ def _paged_layer(
         mask = jnp.where(vis, 0.0, _NEG_INF)[:, None, :, :].astype(jnp.float32)
         attn = llama._attend(qh, kd, vd, mask)
 
-    attn = Q.quant_linear(attn, lq["o"], c.w_bits, out_dtype=dtype)
+    # o/down are the row-parallel half of the Megatron pair: psum over tp,
+    # chunked so the all-reduce overlaps the next chunk's dequant+matmul
+    nc = 4 if tp_axis is not None else 1
+    attn = Q.quant_linear(
+        attn, lq["o"], c.w_bits, out_dtype=dtype,
+        reduce_axis=tp_axis, n_chunks=nc,
+    )
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
     gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
     gate, up = jnp.split(gateup, 2, axis=-1)
-    x = Q.quant_linear(jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype)
+    x = Q.quant_linear(
+        jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype,
+        reduce_axis=tp_axis, n_chunks=nc,
+    )
     return h + x, (k_q, k_s, v_q, v_s)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "pcfg", "dtype")
-)
-def paged_forward(
+def _forward(
     qparams,
     config: LlamaConfig,
     pcfg: PagedConfig,
@@ -166,11 +190,17 @@ def paged_forward(
     block_tables: jax.Array,  # [b, max_pages_per_seq] int32
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
+    tp_axis=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Paged analog of `model.serving_forward`. The host must have assigned
     enough pages in ``block_tables`` to cover ``seq_lens + s``. Inactive
     slots write into page ``n_pages-1`` (reserved scratch) and don't
-    advance."""
+    advance.
+
+    With ``tp_axis`` this is the shard-local body of the tensor-parallel
+    paged step (inference/sharded.py): the page pool is sharded over kv
+    heads, qkv/gateup are column-sharded, o/down psum over the axis, and
+    the vocab-sharded lm_head's logits are all-gathered."""
     c = config
     b, s = input_ids.shape
     P = pcfg.page_size
@@ -193,7 +223,7 @@ def paged_forward(
         lq, k_q, k_s, v_q, v_s = xs
         out, kv = _paged_layer(
             h, lq, c, pcfg, positions, block_tables,
-            (k_q, k_s, v_q, v_s), pages, offsets, new_len, dtype,
+            (k_q, k_s, v_q, v_s), pages, offsets, new_len, dtype, tp_axis,
         )
         return out, kv
 
@@ -205,7 +235,31 @@ def paged_forward(
     h = llama.rms_norm(h, qparams["final_norm"], c.rms_norm_eps)
     head = qparams["embed"].T if "lm_head" not in qparams else qparams["lm_head"]
     logits = jnp.matmul(h, head.astype(h.dtype), preferred_element_type=jnp.float32)
+    if tp_axis is not None and "lm_head" in qparams:
+        # lm_head is vocab-sharded; gather the [b, s, V/tp] shards
+        logits = jax.lax.all_gather(logits, tp_axis, axis=-1, tiled=True)
     return logits, {"k_q": k_q, "k_s": k_s, "v_q": v_q, "v_s": v_s}
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "pcfg", "dtype")
+)
+def paged_forward(
+    qparams,
+    config: LlamaConfig,
+    pcfg: PagedConfig,
+    input_ids: jax.Array,
+    seq_lens: jax.Array,
+    active: jax.Array,
+    block_tables: jax.Array,
+    cache: Dict[str, jax.Array],
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Single-device paged serving step (see ``_forward``)."""
+    return _forward(
+        qparams, config, pcfg, input_ids, seq_lens, active, block_tables,
+        cache, dtype,
+    )
 
 
 class PageAllocator:

@@ -24,13 +24,20 @@ from llm_qat_tpu.inference.engine import Request, _bucket, _sample_tokens
 from llm_qat_tpu.models.config import LlamaConfig
 
 
+def _single_device_paged_forward(
+    qparams, ids, lens, active, tables, cache, *, config, pcfg, dtype
+):
+    return PG.paged_forward(
+        qparams, config, pcfg, ids, lens, active, tables, cache, dtype=dtype
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("config", "pcfg", "n_steps", "top_k", "dtype")
+    jax.jit, static_argnames=("fwd", "n_steps", "top_k")
 )
 def _paged_decode_chunk(
+    fwd,                  # static: fn(qparams, ids, lens, active, tables, cache)
     qparams,
-    config: LlamaConfig,
-    pcfg: PG.PagedConfig,
     logits0: jax.Array,
     temps: jax.Array,
     active: jax.Array,
@@ -40,15 +47,18 @@ def _paged_decode_chunk(
     key: jax.Array,
     n_steps: int,
     top_k: int,
-    dtype=jnp.bfloat16,
 ):
+    """Sample+decode ``n_steps`` tokens on device. ``fwd`` is the engine's
+    paged forward — single-device or tensor-parallel (inference/sharded.py);
+    the engine passes the same callable every call so this compiles once
+    per engine."""
+
     def body(carry, _):
         logits, cache, lens, key = carry
         key, sub = jax.random.split(key)
         tok = _sample_tokens(logits, temps, top_k, sub)
-        new_logits, cache = PG.paged_forward(
-            qparams, config, pcfg, tok[:, None], lens, active,
-            block_tables, cache, dtype=dtype,
+        new_logits, cache = fwd(
+            qparams, tok[:, None], lens, active, block_tables, cache
         )
         lens = jnp.where(active, lens + 1, lens)
         return (new_logits[:, 0], cache, lens, key), tok
@@ -71,15 +81,35 @@ class PagedInferenceEngine:
         top_k: int = 50,
         dtype=jnp.bfloat16,
         seed: int = 0,
+        mesh=None,
     ):
-        self.qparams = qparams
+        """``mesh``: a 1-axis ``('tp',)`` jax Mesh makes the engine
+        tensor-parallel — pass ``qparams`` in the tp-interleaved layout
+        (sharded.quantize_params_tp with tp = mesh size); the engine places
+        params and the page pool on the mesh. ``mesh=None`` is the
+        single-device engine (qparams from quantized.quantize_params)."""
         self.config = config
         self.pcfg = pcfg or PG.PagedConfig()
         self.max_batch = max_batch
         self.steps_per_sync = steps_per_sync
         self.top_k = top_k
         self.dtype = dtype
-        self.cache = PG.init_paged_cache(config, self.pcfg)
+        self.mesh = mesh
+        if mesh is None:
+            self.qparams = qparams
+            self.cache = PG.init_paged_cache(config, self.pcfg)
+            self._fwd = functools.partial(
+                _single_device_paged_forward,
+                config=config, pcfg=self.pcfg, dtype=dtype,
+            )
+        else:
+            from llm_qat_tpu.inference import sharded as S
+
+            self.qparams = S.place(qparams, mesh, S.qparam_specs(qparams))
+            self.cache = S.init_paged_cache_tp(config, self.pcfg, mesh)
+            self._fwd = S.make_tp_paged_forward(
+                config, self.pcfg, mesh, qparams, dtype=dtype
+            )
         self.alloc = PG.PageAllocator(self.pcfg)
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.slot_pages: List[List[int]] = [[] for _ in range(max_batch)]
@@ -91,12 +121,9 @@ class PagedInferenceEngine:
         self._tables = np.zeros(
             (max_batch, self.pcfg.max_pages_per_seq), np.int32
         )
-        self._prefill = jax.jit(
-            lambda qp, ids, lens, act, tables, cache: PG.paged_forward(
-                qp, config, self.pcfg, ids, lens, act, tables, cache,
-                dtype=dtype,
-            )
-        )
+        # _fwd is jitted (or jit-wrapped via shard_map) already; prefill
+        # reuses it directly — one program per prompt bucket
+        self._prefill = self._fwd
 
     # ------------------------------------------------------------------ API
 
@@ -234,11 +261,11 @@ class PagedInferenceEngine:
         self._key, sub = jax.random.split(self._key)
 
         toks, logits, self.cache, lens = _paged_decode_chunk(
-            self.qparams, self.config, self.pcfg,
+            self._fwd, self.qparams,
             jnp.asarray(self._logits), jnp.asarray(temps),
             jnp.asarray(active), jnp.asarray(self.lengths),
             jnp.asarray(self._tables), self.cache, sub,
-            n_steps, self.top_k, self.dtype,
+            n_steps, self.top_k,
         )
         toks_np = np.asarray(toks)
         self._logits = np.array(logits)

@@ -239,3 +239,64 @@ def init_serving_cache_tp(
     single-device cache)."""
     cache = M.init_serving_cache(config, batch, max_len)
     return place(cache, mesh, cache_specs(axis))
+
+
+# ---------------------------------------------------------------------------
+# Paged tensor-parallel serving (inference/paged.py over the mesh)
+# ---------------------------------------------------------------------------
+
+
+def paged_cache_specs(axis: str = "tp") -> Dict[str, P]:
+    """Paged KV pool: int8 pages sharded over kv heads
+    (``[L, n_pages, kvh, P, hd]``), per-token scales replicated."""
+    kv = P(None, None, axis, None, None)
+    return {
+        "k_q": kv, "k_s": P(None, None, None),
+        "v_q": kv, "v_s": P(None, None, None),
+    }
+
+
+def init_paged_cache_tp(
+    config: LlamaConfig, pcfg, mesh: Mesh, axis: str = "tp",
+) -> Dict[str, jax.Array]:
+    """Mesh-sharded page pool (global shapes identical to single-device)."""
+    from llm_qat_tpu.inference import paged as PG
+
+    cache = PG.init_paged_cache(config, pcfg)
+    return place(cache, mesh, paged_cache_specs(axis))
+
+
+def make_tp_paged_forward(
+    config: LlamaConfig,
+    pcfg,
+    mesh: Mesh,
+    qparams: Dict[str, Any],
+    dtype=jnp.bfloat16,
+    axis: str = "tp",
+):
+    """Jitted tensor-parallel paged serving step: ``fn(qparams, ids,
+    seq_lens, active, block_tables, cache) -> (logits, cache)``. Same
+    sharding scheme as `make_tp_forward`; block tables and lengths are
+    host-managed and replicated."""
+    from llm_qat_tpu.inference import paged as PG
+
+    qspecs = qparam_specs(qparams, axis)
+    cspecs = paged_cache_specs(axis)
+    rep = P()
+
+    local = functools.partial(
+        PG._forward, config=config, pcfg=pcfg, dtype=dtype, tp_axis=axis
+    )
+
+    def fn(qp, ids, seq_lens, active, block_tables, cache):
+        return local(qp, input_ids=ids, seq_lens=seq_lens, active=active,
+                     block_tables=block_tables, cache=cache)
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(qspecs, rep, rep, rep, rep, cspecs),
+        out_specs=(rep, cspecs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

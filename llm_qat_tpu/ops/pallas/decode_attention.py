@@ -259,9 +259,11 @@ def quantized_paged_attention(
     assert nh == kvh * groups, (q.shape, k_q.shape)
     scale = 1.0 / (hd ** 0.5)
 
-    def page_of(pg, length, bt_row):
-        nv = jnp.maximum((length + P - 1) // P, 1)
-        return bt_row[jnp.minimum(pg, nv - 1)]
+    def page_of(ib, pg, lens, bt):
+        # SMEM allows scalar loads only (real-TPU lowering rule): index the
+        # block table at [ib, pg'] directly rather than slicing row ib
+        nv = jnp.maximum((lens[ib] + P - 1) // P, 1)
+        return bt[ib, jnp.minimum(pg, nv - 1)]
 
     grid = (b, max_pages)
     out = pl.pallas_call(
@@ -279,25 +281,25 @@ def quantized_paged_attention(
                 pl.BlockSpec(
                     (1, kvh, P, hd),
                     lambda ib, pg, lens, bt: (
-                        page_of(pg, lens[ib], bt[ib]), 0, 0, 0
+                        page_of(ib, pg, lens, bt), 0, 0, 0
                     ),
                 ),
                 pl.BlockSpec(
                     (1, P, 1),
                     lambda ib, pg, lens, bt: (
-                        page_of(pg, lens[ib], bt[ib]), 0, 0
+                        page_of(ib, pg, lens, bt), 0, 0
                     ),
                 ),
                 pl.BlockSpec(
                     (1, kvh, P, hd),
                     lambda ib, pg, lens, bt: (
-                        page_of(pg, lens[ib], bt[ib]), 0, 0, 0
+                        page_of(ib, pg, lens, bt), 0, 0, 0
                     ),
                 ),
                 pl.BlockSpec(
                     (1, P, 1),
                     lambda ib, pg, lens, bt: (
-                        page_of(pg, lens[ib], bt[ib]), 0, 0
+                        page_of(ib, pg, lens, bt), 0, 0
                     ),
                 ),
             ],

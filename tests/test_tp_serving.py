@@ -122,6 +122,81 @@ def test_rowparallel_chunked_quant_linear_matches(w_bits):
     np.testing.assert_allclose(want, got, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("w_bits,kv_bits,tp", [(8, 8, 2), (4, 4, 4)])
+def test_tp_paged_forward_matches_single_device(w_bits, kv_bits, tp):
+    """Paged pool sharded over kv heads: logits and layer-0 pool integers
+    match the single-device paged path (same contract as the contiguous
+    TP test)."""
+    from llm_qat_tpu.inference import paged as PG
+
+    cfg = TINY_TEST.replace(
+        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4
+    )
+    pcfg = PG.PagedConfig(page_size=8, n_pages=16, max_pages_per_seq=4)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    B = 2
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, 4), 0, cfg.vocab_size)
+    lens = jnp.zeros((B,), jnp.int32)
+    act = jnp.ones((B,), bool)
+    # slot 0 -> pages 1,2; slot 1 -> pages 3,4 (page 15 is scratch)
+    tables = jnp.array([[1, 2, 0, 0], [3, 4, 0, 0]], jnp.int32)
+
+    qp1 = Q.quantize_params(params, cfg)
+    c1 = PG.init_paged_cache(cfg, pcfg)
+    lg1, c1 = PG.paged_forward(
+        qp1, cfg, pcfg, ids, lens, act, tables, c1, dtype=jnp.float32
+    )
+
+    mesh = _mesh(tp)
+    qp2 = S.quantize_params_tp(params, cfg, tp)
+    qp2 = S.place(qp2, mesh, S.qparam_specs(qp2))
+    c2 = S.init_paged_cache_tp(cfg, pcfg, mesh)
+    fwd = S.make_tp_paged_forward(cfg, pcfg, mesh, qp2, dtype=jnp.float32)
+    lg2, c2 = fwd(qp2, ids, lens, act, tables, c2)
+
+    np.testing.assert_allclose(lg1, lg2, atol=5e-4, rtol=5e-4)
+    assert (np.asarray(c1["k_q"][0]) == np.asarray(c2["k_q"][0])).all()
+    np.testing.assert_array_equal(
+        np.asarray(c1["k_s"][0]), np.asarray(c2["k_s"][0])
+    )
+
+    # decode step through the fused paged-attention kernel
+    lens1 = jnp.full((B,), 4, jnp.int32)
+    tok = jnp.argmax(lg1[:, -1], -1)[:, None].astype(jnp.int32)
+    lg1d, c1 = PG.paged_forward(
+        qp1, cfg, pcfg, tok, lens1, act, tables, c1, dtype=jnp.float32
+    )
+    lg2d, c2 = fwd(qp2, tok, lens1, act, tables, c2)
+    np.testing.assert_allclose(lg1d, lg2d, atol=5e-4, rtol=5e-4)
+
+
+def test_tp_paged_engine_token_parity():
+    """Paged continuous batching (lazy pages, preemption machinery) emits
+    identical greedy tokens with and without tensor parallelism."""
+    from llm_qat_tpu.inference import paged as PG
+    from llm_qat_tpu.inference.paged_engine import PagedInferenceEngine
+
+    cfg = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    pcfg = PG.PagedConfig(page_size=8, n_pages=32, max_pages_per_seq=8)
+    prompts = [[1, 2, 3], [7, 5], [9, 9, 9, 9, 2]]
+
+    eng1 = PagedInferenceEngine(
+        Q.quantize_params(params, cfg), cfg, pcfg=pcfg,
+        max_batch=2, steps_per_sync=4, dtype=jnp.float32,
+    )
+    eng2 = PagedInferenceEngine(
+        S.quantize_params_tp(params, cfg, 2), cfg, pcfg=pcfg,
+        max_batch=2, steps_per_sync=4, dtype=jnp.float32, mesh=_mesh(2),
+    )
+    for eng in (eng1, eng2):
+        for p in prompts:
+            eng.submit(p, max_new_tokens=8)
+    out1 = {r.uid: r.output for r in eng1.run()}
+    out2 = {r.uid: r.output for r in eng2.run()}
+    assert out1 == out2
+
+
 def test_tp_engine_token_parity():
     """Greedy continuous batching produces identical tokens with and without
     tensor parallelism (admissions, ragged slots, retirement included)."""
