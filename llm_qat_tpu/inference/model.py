@@ -97,7 +97,7 @@ def _serving_layer(
     c = config
     b, s, _ = h.shape
     hd = c.head_dim
-    kb = c.kv_bits if c.kv_bits < 32 else 8  # cache is int8 storage
+    kb = min(c.kv_bits, 8)  # cache storage is int8: >=8-bit configs quantize at 8
 
     k_q, k_s, v_q, v_s = kv_layer
     max_len = k_q.shape[2]
@@ -114,12 +114,20 @@ def _serving_layer(
     k = qkv[..., q_dim : q_dim + kv_dim]
     v = qkv[..., q_dim + kv_dim :]
 
-    # quantize new K/V per-token pre-RoPE (training hook point) and write
+    qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
+    post_rope = c.kv_cache_rope == "post"
+    if post_rope:
+        # post-RoPE cache: rotate K at its absolute position BEFORE
+        # quantizing, so reads never re-apply RoPE (config.kv_cache_rope)
+        kh = llama.apply_rope(k.reshape(b, s, kvh, hd), qcos, qsin)
+        k = kh.reshape(b, s, kvh * hd)
+
+    # quantize new K/V per-token and write ("pre" = training hook point,
+    # pre-RoPE integers, modeling_llama_quant.py:320-333)
     k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis)
     v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis)
 
     qh = q.reshape(b, s, nh, hd)
-    qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
     qh = llama.apply_rope(qh, qcos, qsin)
 
     if s == 1 and c.use_decode_kernel:
@@ -127,17 +135,19 @@ def _serving_layer(
         # K-RoPE + online softmax in-kernel; per-slot early exit at length
         attn = DA.quantized_decode_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len,
-            theta=c.rope_theta,
+            theta=c.rope_theta, rope=not post_rope,
         ).reshape(b, 1, nh * hd)
     else:
-        # XLA prefill path: dequantize the cache, RoPE at absolute positions
+        # XLA prefill path: dequantize the cache; "pre" mode re-applies
+        # RoPE at absolute positions, "post" stored rotated keys already
         kd = _dequant_head_major(k_q, k_s, dtype)
         vd = _dequant_head_major(v_q, v_s, dtype)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
         )
-        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
-        kd = llama.apply_rope(kd, kcos, ksin)
+        if not post_rope:
+            kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+            kd = llama.apply_rope(kd, kcos, ksin)
 
         # mask: cache position j visible to query row (b, i) iff
         # j <= positions[b,i] and j is a valid entry of the slot

@@ -112,7 +112,7 @@ def _paged_layer(
     b, s, _ = h.shape
     hd = c.head_dim
     P = pcfg.page_size
-    kb = c.kv_bits if c.kv_bits < 32 else 8
+    kb = min(c.kv_bits, 8)  # cache storage is int8: >=8-bit configs quantize at 8
 
     k_q, k_s, v_q, v_s = kv_pool
     # local head counts come from the (possibly tp-sharded) pool / fused
@@ -128,6 +128,14 @@ def _paged_layer(
     k = qkv[..., q_dim : q_dim + kv_dim2]
     v = qkv[..., q_dim + kv_dim2 :]
 
+    qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
+    post_rope = c.kv_cache_rope == "post"
+    if post_rope:
+        # post-RoPE pool: rotate K at its absolute position BEFORE
+        # quantizing, so reads never re-apply RoPE (config.kv_cache_rope)
+        krot = llama.apply_rope(k.reshape(b, s, kvh, hd), qcos, qsin)
+        k = krot.reshape(b, s, kvh * hd)
+
     k_q, k_s = _write_pool(
         k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis
     )
@@ -136,13 +144,12 @@ def _paged_layer(
     )
 
     qh = q.reshape(b, s, nh, hd)
-    qcos, qsin = llama.rope_cos_sin(positions, hd, c.rope_theta)
     qh = llama.apply_rope(qh, qcos, qsin)
 
     if s == 1 and c.use_decode_kernel:
         attn = DA.quantized_paged_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables,
-            theta=c.rope_theta,
+            theta=c.rope_theta, rope=not post_rope,
         ).reshape(b, 1, nh * hd)
     else:
         max_tok = block_tables.shape[1] * P
@@ -151,8 +158,9 @@ def _paged_layer(
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
         )
-        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
-        kd = llama.apply_rope(kd, kcos, ksin)
+        if not post_rope:
+            kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+            kd = llama.apply_rope(kd, kcos, ksin)
 
         kv_valid = cache_pos < new_len[:, None]
         vis = (

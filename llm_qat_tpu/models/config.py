@@ -37,6 +37,11 @@ class LlamaConfig:
     symmetric: bool = True        # act quantizer choice (utils_quant.py:184-188)
     use_flash_attention: bool = False  # Pallas blockwise attention (training fwd)
     use_decode_kernel: bool = True     # fused int8-KV decode attention (serving)
+    # Serving KV-cache layout: "pre" stores pre-RoPE integers (the training
+    # hook point, modeling_llama_quant.py:320-333 — RoPE re-applied to the
+    # cache on read); "post" rotates K before quantizing so reads skip RoPE
+    # entirely (faster decode; ~1-lsb different from the training numerics).
+    kv_cache_rope: str = "pre"
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False

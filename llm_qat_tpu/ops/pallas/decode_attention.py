@@ -61,6 +61,7 @@ def _decode_attn_kernel(
     bk: int,
     scale: float,
     theta: float,
+    rope: bool = True,
 ):
     ib = pl.program_id(0)
     kb = pl.program_id(1)
@@ -80,32 +81,38 @@ def _decode_attn_kernel(
         start = kb * bk
         ct = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
-        pos = (
-            start + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-        ).astype(jnp.float32)                              # [bk, 1]
-        # RoPE tables (LlamaRotaryEmbedding: inv_freq = theta^(-2i/d))
-        inv_freq = jnp.exp(
-            jax.lax.broadcasted_iota(jnp.int32, (1, h2), 1).astype(
-                jnp.float32
-            )
-            * (-2.0 / hd)
-            * jnp.log(jnp.float32(theta))
-        )                                                  # [1, hd/2]
-        freqs = pos * inv_freq                             # [bk, hd/2]
-        # fold the per-token inverse scale into the RoPE coefficients so
-        # dequant + rotation is 4 mul + 2 add per element pair
         ks = ks_ref[0]                                     # [bk, 1]
-        cc = (jnp.cos(freqs) * ks).astype(ct)[None]        # [1, bk, hd/2]
-        ss = (jnp.sin(freqs) * ks).astype(ct)[None]
-
         kq = kq_ref[0]                                     # [kvh, bk, hd] i8
         k1 = kq[..., :h2].astype(ct)
         k2 = kq[..., h2:].astype(ct)
-        # RoPE halves (x*cos + rotate_half(x)*sin, rotate_half = [-x2, x1]);
-        # kept separate — the score matmul contracts each half on its own,
-        # which skips a lane-concat relayout
-        kr1 = k1 * cc - k2 * ss
-        kr2 = k2 * cc + k1 * ss
+        if rope:
+            pos = (
+                start + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
+            ).astype(jnp.float32)                          # [bk, 1]
+            # RoPE tables (LlamaRotaryEmbedding: inv_freq = theta^(-2i/d))
+            inv_freq = jnp.exp(
+                jax.lax.broadcasted_iota(jnp.int32, (1, h2), 1).astype(
+                    jnp.float32
+                )
+                * (-2.0 / hd)
+                * jnp.log(jnp.float32(theta))
+            )                                              # [1, hd/2]
+            freqs = pos * inv_freq                         # [bk, hd/2]
+            # fold the per-token inverse scale into the RoPE coefficients so
+            # dequant + rotation is 4 mul + 2 add per element pair
+            cc = (jnp.cos(freqs) * ks).astype(ct)[None]    # [1, bk, hd/2]
+            ss = (jnp.sin(freqs) * ks).astype(ct)[None]
+            # RoPE halves (x*cos + rotate_half(x)*sin, rotate_half =
+            # [-x2, x1]); kept separate — the score matmul contracts each
+            # half on its own, which skips a lane-concat relayout
+            kr1 = k1 * cc - k2 * ss
+            kr2 = k2 * cc + k1 * ss
+        else:
+            # post-RoPE cache (config.kv_cache_rope == "post"): integers are
+            # already rotated; just dequantize
+            ksb = ks.astype(ct)[None]                      # [1, bk, 1]
+            kr1 = k1 * ksb
+            kr2 = k2 * ksb
         v = vq_ref[0].astype(ct) * vs_ref[0][None].astype(ct)
 
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
@@ -151,7 +158,7 @@ def _pick_bk(S: int, kvh: int, hd: int, bk: int) -> int:
     return bk
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "theta"))
+@functools.partial(jax.jit, static_argnames=("bk", "theta", "rope"))
 def quantized_decode_attention(
     q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
     k_q: jax.Array,      # [b, kvh, S, hd] int8 (pre-RoPE values)
@@ -162,6 +169,7 @@ def quantized_decode_attention(
     *,
     theta: float = 10000.0,
     bk: int = 1024,
+    rope: bool = True,   # False => cache already holds rotated K (post mode)
 ) -> jax.Array:          # [b, nh, hd]
     b, nh, hd = q.shape
     kvh, S = k_q.shape[1], k_q.shape[2]
@@ -177,7 +185,8 @@ def quantized_decode_attention(
     grid = (b, S // bk)
     out = pl.pallas_call(
         functools.partial(
-            _decode_attn_kernel, bk=bk, scale=scale, theta=float(theta)
+            _decode_attn_kernel, bk=bk, scale=scale, theta=float(theta),
+            rope=rope,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -234,7 +243,7 @@ def _paged_attn_kernel(lens_ref, bt_ref, *rest, **kw):
     _decode_attn_kernel(lens_ref, *rest, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("theta",))
+@functools.partial(jax.jit, static_argnames=("theta", "rope"))
 def quantized_paged_attention(
     q: jax.Array,             # [b, nh, hd] — post-RoPE query
     k_q: jax.Array,           # [n_pages, kvh, P, hd] int8 pool (pre-RoPE)
@@ -245,6 +254,7 @@ def quantized_paged_attention(
     block_tables: jax.Array,  # [b, max_pages] int32 — logical page -> pool id
     *,
     theta: float = 10000.0,
+    rope: bool = True,
 ) -> jax.Array:               # [b, nh, hd]
     """Paged-attention analog of `quantized_decode_attention`: the grid's KV
     dimension walks each slot's block table (scalar-prefetched), so pages
@@ -268,7 +278,8 @@ def quantized_paged_attention(
     grid = (b, max_pages)
     out = pl.pallas_call(
         functools.partial(
-            _paged_attn_kernel, bk=P, scale=scale, theta=float(theta)
+            _paged_attn_kernel, bk=P, scale=scale, theta=float(theta),
+            rope=rope,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
