@@ -40,24 +40,30 @@ def init_serving_cache(
     config: LlamaConfig, batch: int, max_len: int
 ) -> Dict[str, jax.Array]:
     """Head-major int8 KV cache + f32 per-token inverse scales, stacked
-    over layers."""
+    over layers. K is stored transposed — ``[L, b, kvh, hd, S]`` — so the
+    decode kernel's score contraction is the canonical MXU matmul
+    (ops/pallas/decode_attention.py layout notes); V is ``[L, b, kvh, S,
+    hd]``."""
     c = config
-    shape = (c.num_hidden_layers, batch, c.kv_heads, max_len, c.head_dim)
+    kshape = (c.num_hidden_layers, batch, c.kv_heads, c.head_dim, max_len)
+    vshape = (c.num_hidden_layers, batch, c.kv_heads, max_len, c.head_dim)
     sshape = (c.num_hidden_layers, batch, max_len)
     return {
-        "k_q": jnp.zeros(shape, jnp.int8),
+        "k_q": jnp.zeros(kshape, jnp.int8),
         "k_s": jnp.ones(sshape, jnp.float32),
-        "v_q": jnp.zeros(shape, jnp.int8),
+        "v_q": jnp.zeros(vshape, jnp.int8),
         "v_s": jnp.ones(sshape, jnp.float32),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
 
 
-def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits, tp_axis=None):
+def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
+              tp_axis=None, transposed=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
-    at its own offset into head-major (cache_q [b, kvh, S, hd],
-    cache_s [b, S]). Under tensor parallelism ``new`` holds the local head
-    shard; the per-token scale is computed from the pmax over shards so the
+    at its own offset into head-major (cache_q [b, kvh, S, hd] — or
+    [b, kvh, hd, S] when ``transposed`` (the K layout) — and cache_s
+    [b, S]). Under tensor parallelism ``new`` holds the local head shard;
+    the per-token scale is computed from the pmax over shards so the
     sharded cache holds exactly the single-device integers."""
     b, s, _ = new.shape
     amax = None
@@ -67,10 +73,16 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits, tp_axis=None):
         )
     nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)  # int8 [b,s,kv], s [b,s,1]
     inv = (1.0 / (ns + 1e-6))[..., 0]             # [b, s] inverse scales
-    nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)  # [b, kvh, s, hd]
+    if transposed:
+        nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 3, 1)  # [b, kvh, hd, s]
+    else:
+        nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)  # [b, kvh, s, hd]
 
     def write_row(cq, cs, q_new, s_new, wp):
-        cq = jax.lax.dynamic_update_slice(cq, q_new, (0, wp, 0))
+        if transposed:
+            cq = jax.lax.dynamic_update_slice(cq, q_new, (0, 0, wp))
+        else:
+            cq = jax.lax.dynamic_update_slice(cq, q_new, (0, wp, 0))
         cs = jax.lax.dynamic_update_slice(cs, s_new, (wp,))
         return cq, cs
 
@@ -83,6 +95,12 @@ def _dequant_head_major(cq, cs, dtype):
     return d.transpose(0, 2, 1, 3).astype(dtype)
 
 
+def _dequant_transposed(cq, cs, dtype):
+    """[b, kvh, hd, S] int8 (transposed K) + [b, S] -> [b, S, kvh, hd]."""
+    d = cq.astype(jnp.float32) * cs[:, None, None, :]
+    return d.transpose(0, 3, 1, 2).astype(dtype)
+
+
 def _serving_layer(
     h: jax.Array,            # [b, s, H]
     lq: Dict[str, Any],      # quantized layer params
@@ -93,6 +111,7 @@ def _serving_layer(
     new_len: jax.Array,      # [b] valid length after this step's write
     dtype,
     tp_axis=None,
+    rope_tables=None,        # (cos, sin) [max_len, hd/2] hoisted for decode
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
     c = config
     b, s, _ = h.shape
@@ -100,7 +119,7 @@ def _serving_layer(
     kb = min(c.kv_bits, 8)  # cache storage is int8: >=8-bit configs quantize at 8
 
     k_q, k_s, v_q, v_s = kv_layer
-    max_len = k_q.shape[2]
+    max_len = v_q.shape[2]
     # local head counts come from the (possibly tp-sharded) cache / fused
     # projection shapes; with tp_axis=None these equal the config's counts
     kvh = k_q.shape[1]
@@ -123,8 +142,9 @@ def _serving_layer(
         k = kh.reshape(b, s, kvh * hd)
 
     # quantize new K/V per-token and write ("pre" = training hook point,
-    # pre-RoPE integers, modeling_llama_quant.py:320-333)
-    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis)
+    # pre-RoPE integers, modeling_llama_quant.py:320-333); K transposed
+    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
+                         transposed=True)
     v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis)
 
     qh = q.reshape(b, s, nh, hd)
@@ -133,14 +153,15 @@ def _serving_layer(
     if s == 1 and c.use_decode_kernel:
         # fused decode kernel: int8 cache blocks stream to VMEM; dequant +
         # K-RoPE + online softmax in-kernel; per-slot early exit at length
+        kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_decode_attention(
-            qh[:, 0], k_q, k_s, v_q, v_s, new_len,
+            qh[:, 0], k_q, k_s, v_q, v_s, new_len, kc, ksn,
             theta=c.rope_theta, rope=not post_rope,
         ).reshape(b, 1, nh * hd)
     else:
         # XLA prefill path: dequantize the cache; "pre" mode re-applies
         # RoPE at absolute positions, "post" stored rotated keys already
-        kd = _dequant_head_major(k_q, k_s, dtype)
+        kd = _dequant_transposed(k_q, k_s, dtype)
         vd = _dequant_head_major(v_q, v_s, dtype)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
@@ -197,7 +218,7 @@ def _forward(
     axis, and the vocab-sharded lm_head's logits are all-gathered."""
     c = config
     b, s = input_ids.shape
-    max_len = cache["k_q"].shape[3]
+    max_len = cache["k_q"].shape[4]  # K is transposed [L, b, kvh, hd, S]
 
     h = jnp.take(qparams["embed"], input_ids, axis=0).astype(dtype)
     positions = seq_lens[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
@@ -206,11 +227,21 @@ def _forward(
     write_pos = jnp.where(active, seq_lens, max_len - 1).astype(jnp.int32)
     new_len = jnp.where(active, seq_lens + s, seq_lens)
 
+    # hoist the decode kernel's K-RoPE tables out of the 32-layer scan:
+    # in-kernel cos/sin was the kernel's dominant cost (see decode_attention)
+    rope_tables = None
+    if s == 1 and c.use_decode_kernel and c.kv_cache_rope != "post":
+        hd = c.head_dim
+        cache_pos = jnp.arange(max_len, dtype=jnp.int32)[None]
+        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+        # transposed [hd/2, S] to match the kernel's K layout
+        rope_tables = (kcos[0, :, : hd // 2].T, ksin[0, :, : hd // 2].T)
+
     def body(h, xs):
         lq, k_q, k_s, v_q, v_s = xs
         out, new_kv = _serving_layer(
             h, lq, c, positions, (k_q, k_s, v_q, v_s), write_pos, new_len,
-            dtype, tp_axis,
+            dtype, tp_axis, rope_tables,
         )
         return out, new_kv
 

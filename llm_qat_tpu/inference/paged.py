@@ -48,26 +48,36 @@ class PagedConfig:
 def init_paged_cache(
     config: LlamaConfig, pcfg: PagedConfig
 ) -> Dict[str, jax.Array]:
+    """K pages are stored transposed — ``[L, n_pages, kvh, hd, P]`` — so
+    the paged decode kernel's score contraction is the canonical MXU matmul
+    (ops/pallas/decode_attention.py layout notes); V pages are
+    ``[L, n_pages, kvh, P, hd]``."""
     c = config
-    shape = (
+    kshape = (
+        c.num_hidden_layers, pcfg.n_pages, c.kv_heads, c.head_dim,
+        pcfg.page_size,
+    )
+    vshape = (
         c.num_hidden_layers, pcfg.n_pages, c.kv_heads, pcfg.page_size,
         c.head_dim,
     )
     sshape = (c.num_hidden_layers, pcfg.n_pages, pcfg.page_size)
     return {
-        "k_q": jnp.zeros(shape, jnp.int8),
+        "k_q": jnp.zeros(kshape, jnp.int8),
         "k_s": jnp.ones(sshape, jnp.float32),
-        "v_q": jnp.zeros(shape, jnp.int8),
+        "v_q": jnp.zeros(vshape, jnp.int8),
         "v_s": jnp.ones(sshape, jnp.float32),
     }
 
 
 def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
-                tp_axis=None):
+                tp_axis=None, transposed=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and scatter rows into the
-    head-major pool at (page, offset). Under tensor parallelism ``new`` is
-    the local head shard; the per-token scale comes from the pmax'd global
-    absmax so the sharded pool holds exactly the single-device integers."""
+    head-major pool at (page, offset) — pool [np, kvh, P, hd], or
+    [np, kvh, hd, P] when ``transposed`` (the K layout). Under tensor
+    parallelism ``new`` is the local head shard; the per-token scale comes
+    from the pmax'd global absmax so the sharded pool holds exactly the
+    single-device integers."""
     b, s, _ = new.shape
     amax = None
     if tp_axis is not None:
@@ -79,19 +89,27 @@ def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
     nq = nq.reshape(b * s, kvh, hd)
     pg = pages.reshape(-1)
     of = offsets.reshape(-1)
-    pool_q = pool_q.at[pg, :, of].set(nq)                # [n, kvh, hd] rows
+    if transposed:
+        pool_q = pool_q.at[pg, :, :, of].set(nq)         # [n, kvh, hd] rows
+    else:
+        pool_q = pool_q.at[pg, :, of].set(nq)
     pool_s = pool_s.at[pg, of].set(inv.reshape(-1))
     return pool_q, pool_s
 
 
-def _gather_dequant(pool_q, pool_s, block_tables, dtype):
+def _gather_dequant(pool_q, pool_s, block_tables, dtype, transposed=False):
     """Pool + block table -> [b, max_tok, kvh, hd] dequantized (XLA path)."""
     b, mp = block_tables.shape
-    g = jnp.take(pool_q, block_tables, axis=0)           # [b, mp, kvh, P, hd]
+    g = jnp.take(pool_q, block_tables, axis=0)
     s = jnp.take(pool_s, block_tables, axis=0)           # [b, mp, P]
-    d = g.astype(jnp.float32) * s[:, :, None, :, None]
-    d = d.transpose(0, 1, 3, 2, 4)                       # [b, mp, P, kvh, hd]
-    return d.reshape(b, mp * g.shape[3], *d.shape[3:]).astype(dtype)
+    if transposed:                                       # g [b, mp, kvh, hd, P]
+        d = g.astype(jnp.float32) * s[:, :, None, None, :]
+        d = d.transpose(0, 1, 4, 2, 3)                   # [b, mp, P, kvh, hd]
+    else:                                                # g [b, mp, kvh, P, hd]
+        d = g.astype(jnp.float32) * s[:, :, None, :, None]
+        d = d.transpose(0, 1, 3, 2, 4)
+    P = d.shape[2]
+    return d.reshape(b, mp * P, *d.shape[3:]).astype(dtype)
 
 
 def _paged_layer(
@@ -107,6 +125,7 @@ def _paged_layer(
     new_len: jax.Array,        # [b] valid length after this step's write
     dtype,
     tp_axis=None,
+    rope_tables=None,          # (cos, sin) [max_tok, hd/2] hoisted for decode
 ):
     c = config
     b, s, _ = h.shape
@@ -137,7 +156,8 @@ def _paged_layer(
         k = krot.reshape(b, s, kvh * hd)
 
     k_q, k_s = _write_pool(
-        k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis
+        k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis,
+        transposed=True,
     )
     v_q, v_s = _write_pool(
         v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis
@@ -147,13 +167,14 @@ def _paged_layer(
     qh = llama.apply_rope(qh, qcos, qsin)
 
     if s == 1 and c.use_decode_kernel:
+        kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_paged_attention(
-            qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables,
+            qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables, kc, ksn,
             theta=c.rope_theta, rope=not post_rope,
         ).reshape(b, 1, nh * hd)
     else:
         max_tok = block_tables.shape[1] * P
-        kd = _gather_dequant(k_q, k_s, block_tables, dtype)
+        kd = _gather_dequant(k_q, k_s, block_tables, dtype, transposed=True)
         vd = _gather_dequant(v_q, v_s, block_tables, dtype)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
@@ -227,11 +248,23 @@ def _forward(
 
     new_len = jnp.where(active, seq_lens + s, seq_lens)
 
+    # hoist the decode kernel's K-RoPE tables (logical positions) out of
+    # the layer scan; in-kernel cos/sin dominated the kernel's runtime
+    rope_tables = None
+    if s == 1 and c.use_decode_kernel and c.kv_cache_rope != "post":
+        hd = c.head_dim
+        max_tok = block_tables.shape[1] * P
+        cache_pos = jnp.arange(max_tok, dtype=jnp.int32)[None]
+        kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
+        # transposed [hd/2, max_tok] to match the kernel's K layout
+        rope_tables = (kcos[0, :, : hd // 2].T, ksin[0, :, : hd // 2].T)
+
     def body(h, xs):
         lq, k_q, k_s, v_q, v_s = xs
         out, kv = _paged_layer(
             h, lq, c, pcfg, positions, block_tables,
             (k_q, k_s, v_q, v_s), pages, offsets, new_len, dtype, tp_axis,
+            rope_tables,
         )
         return out, kv
 

@@ -9,21 +9,28 @@ dequantizes in VMEM, applies RoPE to keys in-kernel, and runs an online
 softmax — nothing besides the int8 cache and the [b, nh, hd] query/output
 ever touches HBM.
 
-Cache layout is head-major — ``[b, kvh, S, hd]`` int8 with per-token
-inverse scales ``[b, S]`` f32. Each grid program handles one (slot,
-KV-block) pair across ALL kv heads — ``[kvh, bk, hd]`` per fetch — so DMAs
-are hundreds of KB and the grid is only ``b * S/bk`` steps per layer (a
-per-head grid was measured 60% slower than the XLA path from sheer grid
-overhead). Per-slot lengths ride in scalar-prefetch SMEM: blocks past a
-slot's length are clamped to the last valid block in the index map (Pallas
-elides the refetch) and their compute is skipped, so a slot with 200
-cached tokens costs ~200 tokens of traffic regardless of cache capacity.
+Layout (measured on v5e; see git history for the evolution):
+  * K is stored **transposed** — ``[b, kvh, hd, S]`` int8 — so the score
+    contraction ``q [g, hd] x k [hd, bk]`` is the canonical MXU matmul
+    (contract lhs dim 1 with rhs dim 0). The previous ``[b, kvh, S, hd]``
+    layout forced Mosaic to transpose every K block in VMEM (dn (1,1)),
+    which cost ~40% of kernel time. V stays ``[b, kvh, S, hd]`` — the
+    p·V contraction is already canonical there.
+  * K-RoPE cos/sin are **hoisted operands** (``[hd/2, S]`` f32, also
+    transposed) computed once per forward by the caller; in-kernel
+    transcendentals were the kernel's dominant cost (recomputed per
+    slot x block: 2x slower end to end). An in-kernel fallback remains for
+    standalone calls.
+  * Each grid program handles one (slot, KV-block) pair across ALL kv heads
+    so DMAs are hundreds of KB; per-slot lengths ride in scalar-prefetch
+    SMEM and blocks past a slot's length are clamped in the index map
+    (Pallas elides the refetch) and their compute skipped.
 
 Numerics contract (matches inference/model.py / the training hook,
-modeling_llama_quant.py:320-333): K/V are quantized per-token pre-RoPE;
-dequantize then RoPE by absolute cache position; fp32 softmax. The kernel
-computes RoPE and scores in f32 (the XLA path's bf16 dequant is a strictly
-looser rounding; parity is tolerance-tested in tests/test_decode_attention).
+modeling_llama_quant.py:320-333): K/V quantized per-token pre-RoPE;
+dequantize then RoPE by absolute cache position; fp32 softmax. With
+``rope=False`` (config.kv_cache_rope == "post") the cache already holds
+rotated-K integers and the kernel only dequantizes.
 """
 
 from __future__ import annotations
@@ -45,24 +52,29 @@ def _interpret() -> bool:
 def _decode_attn_kernel(
     # scalar prefetch
     lens_ref,                      # [b] int32 in SMEM
-    # inputs
-    q_ref,                         # [1, kvh, groups, hd]
-    kq_ref,                        # [1, kvh, bk, hd] int8
-    ks_ref,                        # [1, bk, 1] f32 (inverse scales)
-    vq_ref,                        # [1, kvh, bk, hd] int8
-    vs_ref,                        # [1, bk, 1] f32
-    # outputs
-    o_ref,                         # [1, kvh, groups, hd]
-    # scratch
-    m_ref,                         # [kvh, groups, 1] f32
-    l_ref,                         # [kvh, groups, 1] f32
-    acc_ref,                       # [kvh, groups, hd] f32
-    *,
+    # inputs (cos_ref/sin_ref present only when rope and tables):
+    #   q_ref   [1, kvh, groups, hd]
+    #   kq_ref  [1, kvh, hd, bk] int8 (transposed K)
+    #   ks_ref  [1, 1, bk] f32 (inverse scales, lane-major)
+    #   vq_ref  [1, kvh, bk, hd] int8
+    #   vs_ref  [1, bk, 1] f32
+    #   cos_ref/sin_ref [hd/2, bk] f32 — hoisted RoPE tables (transposed)
+    # outputs: o_ref [1, kvh, groups, hd]
+    # scratch: m_ref/l_ref [kvh, groups, 1] f32, acc_ref [kvh, groups, hd]
+    *refs,
     bk: int,
     scale: float,
     theta: float,
     rope: bool = True,
+    tables: bool = False,
 ):
+    if rope and tables:
+        (q_ref, kq_ref, ks_ref, vq_ref, vs_ref, cos_ref, sin_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        (q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs
+
     ib = pl.program_id(0)
     kb = pl.program_id(1)
     length = lens_ref[ib]
@@ -81,52 +93,56 @@ def _decode_attn_kernel(
         start = kb * bk
         ct = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
-        ks = ks_ref[0]                                     # [bk, 1]
-        kq = kq_ref[0]                                     # [kvh, bk, hd] i8
-        k1 = kq[..., :h2].astype(ct)
-        k2 = kq[..., h2:].astype(ct)
+        ks = ks_ref[0]                                     # [1, bk]
+        kq = kq_ref[0]                                     # [kvh, hd, bk] i8
         if rope:
-            pos = (
-                start + jax.lax.broadcasted_iota(jnp.int32, (bk, 1), 0)
-            ).astype(jnp.float32)                          # [bk, 1]
-            # RoPE tables (LlamaRotaryEmbedding: inv_freq = theta^(-2i/d))
-            inv_freq = jnp.exp(
-                jax.lax.broadcasted_iota(jnp.int32, (1, h2), 1).astype(
-                    jnp.float32
-                )
-                * (-2.0 / hd)
-                * jnp.log(jnp.float32(theta))
-            )                                              # [1, hd/2]
-            freqs = pos * inv_freq                         # [bk, hd/2]
+            if tables:
+                # hoisted tables: transcendentals computed once per forward
+                # by the caller, not per (slot, block) program
+                cos = cos_ref[...]                         # [hd/2, bk]
+                sin = sin_ref[...]
+            else:
+                pos = (
+                    start + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+                ).astype(jnp.float32)                      # [1, bk]
+                # RoPE tables (LlamaRotaryEmbedding: inv_freq = theta^(-2i/d))
+                inv_freq = jnp.exp(
+                    jax.lax.broadcasted_iota(jnp.int32, (h2, 1), 0).astype(
+                        jnp.float32
+                    )
+                    * (-2.0 / hd)
+                    * jnp.log(jnp.float32(theta))
+                )                                          # [hd/2, 1]
+                freqs = inv_freq * pos                     # [hd/2, bk]
+                cos = jnp.cos(freqs)
+                sin = jnp.sin(freqs)
             # fold the per-token inverse scale into the RoPE coefficients so
             # dequant + rotation is 4 mul + 2 add per element pair
-            cc = (jnp.cos(freqs) * ks).astype(ct)[None]    # [1, bk, hd/2]
-            ss = (jnp.sin(freqs) * ks).astype(ct)[None]
-            # RoPE halves (x*cos + rotate_half(x)*sin, rotate_half =
-            # [-x2, x1]); kept separate — the score matmul contracts each
-            # half on its own, which skips a lane-concat relayout
-            kr1 = k1 * cc - k2 * ss
-            kr2 = k2 * cc + k1 * ss
+            cc = (cos * ks).astype(ct)[None]               # [1, hd/2, bk]
+            ss = (sin * ks).astype(ct)[None]
+            k1 = kq[:, :h2].astype(ct)                     # [kvh, hd/2, bk]
+            k2 = kq[:, h2:].astype(ct)
+            # rotate-half: [k1*c - k2*s ; k2*c + k1*s], assembled along the
+            # sublane (hd) dim so the score matmul is ONE canonical dot
+            kr = jnp.concatenate([k1 * cc - k2 * ss, k2 * cc + k1 * ss],
+                                 axis=1)                   # [kvh, hd, bk]
         else:
             # post-RoPE cache (config.kv_cache_rope == "post"): integers are
             # already rotated; just dequantize
-            ksb = ks.astype(ct)[None]                      # [1, bk, 1]
-            kr1 = k1 * ksb
-            kr2 = k2 * ksb
+            kr = kq.astype(ct) * ks.astype(ct)[None]
         v = vq_ref[0].astype(ct) * vs_ref[0][None].astype(ct)
 
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
         valid = col < length
 
         m_prev, l_prev = m_ref[:], l_ref[:]
-        # per-kv-head MXU dots (unrolled; kvh is static)
+        # per-kv-head MXU dots (unrolled; kvh is static); q [g, hd] x
+        # kr [hd, bk] contracts (1,0) — the canonical layout, no transpose
         for h in range(kvh):
             q = q_ref[0, h].astype(ct)                     # [groups, hd]
-            dn = (((1,), (1,)), ((), ()))
             s = jax.lax.dot_general(
-                q[:, :h2], kr1[h], dn, preferred_element_type=jnp.float32
-            ) + jax.lax.dot_general(
-                q[:, h2:], kr2[h], dn, preferred_element_type=jnp.float32
+                q, kr[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )                                              # [groups, bk]
             s = jnp.where(valid, s * scale, _NEG_INF)
             m_blk = jnp.max(s, axis=-1, keepdims=True)
@@ -161,57 +177,77 @@ def _pick_bk(S: int, kvh: int, hd: int, bk: int) -> int:
 @functools.partial(jax.jit, static_argnames=("bk", "theta", "rope"))
 def quantized_decode_attention(
     q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
-    k_q: jax.Array,      # [b, kvh, S, hd] int8 (pre-RoPE values)
+    k_q: jax.Array,      # [b, kvh, hd, S] int8 — TRANSPOSED pre-RoPE K
     k_s: jax.Array,      # [b, S] f32 per-token inverse scales
     v_q: jax.Array,      # [b, kvh, S, hd] int8
     v_s: jax.Array,      # [b, S] f32
     lengths: jax.Array,  # [b] int32 — positions < length attend
+    k_cos: jax.Array = None,  # [hd/2, S] f32 hoisted RoPE tables (pre mode);
+    k_sin: jax.Array = None,  # None => compute cos/sin in-kernel (slower)
     *,
     theta: float = 10000.0,
     bk: int = 1024,
     rope: bool = True,   # False => cache already holds rotated K (post mode)
 ) -> jax.Array:          # [b, nh, hd]
     b, nh, hd = q.shape
-    kvh, S = k_q.shape[1], k_q.shape[2]
+    kvh, S = k_q.shape[1], k_q.shape[3]
     groups = nh // kvh
     assert nh == kvh * groups, (q.shape, k_q.shape)
+    assert k_q.shape[2] == hd, ("K must be transposed [b,kvh,hd,S]", k_q.shape)
     bk = _pick_bk(S, kvh, hd, bk)
     scale = 1.0 / (hd ** 0.5)
+    tables = rope and k_cos is not None
 
     def clamp(kb, length):
         nv = jnp.maximum((length + bk - 1) // bk, 1)
         return jnp.minimum(kb, nv - 1)
 
+    in_specs = [
+        pl.BlockSpec(
+            (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, kvh, hd, bk),
+            lambda ib, kb, lens: (ib, 0, 0, clamp(kb, lens[ib])),
+        ),
+        pl.BlockSpec(
+            (1, 1, bk),
+            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
+        ),
+        pl.BlockSpec(
+            (1, kvh, bk, hd),
+            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib]), 0),
+        ),
+        pl.BlockSpec(
+            (1, bk, 1),
+            lambda ib, kb, lens: (ib, clamp(kb, lens[ib]), 0),
+        ),
+    ]
+    operands = [
+        lengths,
+        q.reshape(b, kvh, groups, hd),
+        k_q,
+        k_s[:, None, :],
+        v_q,
+        v_s[..., None],
+    ]
+    if tables:
+        tspec = pl.BlockSpec(
+            (hd // 2, bk), lambda ib, kb, lens: (0, clamp(kb, lens[ib]))
+        )
+        in_specs += [tspec, tspec]
+        operands += [k_cos.astype(jnp.float32), k_sin.astype(jnp.float32)]
+
     grid = (b, S // bk)
     out = pl.pallas_call(
         functools.partial(
             _decode_attn_kernel, bk=bk, scale=scale, theta=float(theta),
-            rope=rope,
+            rope=rope, tables=tables,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
-                ),
-                pl.BlockSpec(
-                    (1, kvh, bk, hd),
-                    lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib]), 0),
-                ),
-                pl.BlockSpec(
-                    (1, bk, 1),
-                    lambda ib, kb, lens: (ib, clamp(kb, lens[ib]), 0),
-                ),
-                pl.BlockSpec(
-                    (1, kvh, bk, hd),
-                    lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib]), 0),
-                ),
-                pl.BlockSpec(
-                    (1, bk, 1),
-                    lambda ib, kb, lens: (ib, clamp(kb, lens[ib]), 0),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
             ),
@@ -226,14 +262,7 @@ def quantized_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(
-        lengths,
-        q.reshape(b, kvh, groups, hd),
-        k_q,
-        k_s[..., None],
-        v_q,
-        v_s[..., None],
-    )
+    )(*operands)
     return out.reshape(b, nh, hd)
 
 
@@ -246,12 +275,14 @@ def _paged_attn_kernel(lens_ref, bt_ref, *rest, **kw):
 @functools.partial(jax.jit, static_argnames=("theta", "rope"))
 def quantized_paged_attention(
     q: jax.Array,             # [b, nh, hd] — post-RoPE query
-    k_q: jax.Array,           # [n_pages, kvh, P, hd] int8 pool (pre-RoPE)
+    k_q: jax.Array,           # [n_pages, kvh, hd, P] int8 pool — TRANSPOSED K
     k_s: jax.Array,           # [n_pages, P] f32 per-token inverse scales
     v_q: jax.Array,           # [n_pages, kvh, P, hd] int8
     v_s: jax.Array,           # [n_pages, P] f32
     lengths: jax.Array,       # [b] int32
     block_tables: jax.Array,  # [b, max_pages] int32 — logical page -> pool id
+    k_cos: jax.Array = None,  # [hd/2, max_pages*P] f32 hoisted RoPE tables
+    k_sin: jax.Array = None,  # (logical positions); None => in-kernel cos/sin
     *,
     theta: float = 10000.0,
     rope: bool = True,
@@ -263,57 +294,74 @@ def quantized_paged_attention(
     logical positions); pages past ``ceil(len/P)`` are clamped in the index
     map and skipped."""
     b, nh, hd = q.shape
-    n_pages, kvh, P, _ = k_q.shape
+    n_pages, kvh, _, P = k_q.shape
     max_pages = block_tables.shape[1]
     groups = nh // kvh
     assert nh == kvh * groups, (q.shape, k_q.shape)
+    assert k_q.shape[2] == hd, ("K must be transposed [np,kvh,hd,P]", k_q.shape)
     scale = 1.0 / (hd ** 0.5)
+    tables = rope and k_cos is not None
+
+    def logical_clamp(ib, pg, lens):
+        nv = jnp.maximum((lens[ib] + P - 1) // P, 1)
+        return jnp.minimum(pg, nv - 1)
 
     def page_of(ib, pg, lens, bt):
         # SMEM allows scalar loads only (real-TPU lowering rule): index the
         # block table at [ib, pg'] directly rather than slicing row ib
-        nv = jnp.maximum((lens[ib] + P - 1) // P, 1)
-        return bt[ib, jnp.minimum(pg, nv - 1)]
+        return bt[ib, logical_clamp(ib, pg, lens)]
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, kvh, groups, hd),
+            lambda ib, pg, lens, bt: (ib, 0, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, kvh, hd, P),
+            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, P),
+            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, kvh, P, hd),
+            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
+        ),
+        pl.BlockSpec(
+            (1, P, 1),
+            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
+        ),
+    ]
+    operands = [
+        lengths,
+        block_tables,
+        q.reshape(b, kvh, groups, hd),
+        k_q,
+        k_s[:, None, :],
+        v_q,
+        v_s[..., None],
+    ]
+    if tables:
+        # tables live at LOGICAL positions: block index is the clamped
+        # logical page (consistent with the K block's skip/clamp)
+        tspec = pl.BlockSpec(
+            (hd // 2, P),
+            lambda ib, pg, lens, bt: (0, logical_clamp(ib, pg, lens)),
+        )
+        in_specs += [tspec, tspec]
+        operands += [k_cos.astype(jnp.float32), k_sin.astype(jnp.float32)]
 
     grid = (b, max_pages)
     out = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel, bk=P, scale=scale, theta=float(theta),
-            rope=rope,
+            rope=rope, tables=tables,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, kvh, groups, hd),
-                    lambda ib, pg, lens, bt: (ib, 0, 0, 0),
-                ),
-                pl.BlockSpec(
-                    (1, kvh, P, hd),
-                    lambda ib, pg, lens, bt: (
-                        page_of(ib, pg, lens, bt), 0, 0, 0
-                    ),
-                ),
-                pl.BlockSpec(
-                    (1, P, 1),
-                    lambda ib, pg, lens, bt: (
-                        page_of(ib, pg, lens, bt), 0, 0
-                    ),
-                ),
-                pl.BlockSpec(
-                    (1, kvh, P, hd),
-                    lambda ib, pg, lens, bt: (
-                        page_of(ib, pg, lens, bt), 0, 0, 0
-                    ),
-                ),
-                pl.BlockSpec(
-                    (1, P, 1),
-                    lambda ib, pg, lens, bt: (
-                        page_of(ib, pg, lens, bt), 0, 0
-                    ),
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, kvh, groups, hd), lambda ib, pg, lens, bt: (ib, 0, 0, 0)
             ),
@@ -328,22 +376,15 @@ def quantized_paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(
-        lengths,
-        block_tables,
-        q.reshape(b, kvh, groups, hd),
-        k_q,
-        k_s[..., None],
-        v_q,
-        v_s[..., None],
-    )
+    )(*operands)
     return out.reshape(b, nh, hd)
 
 
 def decode_attention_reference(
     q, k_q, k_s, v_q, v_s, lengths, *, theta: float = 10000.0
 ) -> jax.Array:
-    """Pure-XLA oracle with identical semantics (f32 throughout), for tests."""
+    """Pure-XLA oracle with identical semantics (f32 throughout), for tests.
+    Takes the UNtransposed K layout ``[b, kvh, S, hd]``."""
     b, nh, hd = q.shape
     kvh, S = k_q.shape[1], k_q.shape[2]
     groups = nh // kvh

@@ -1,4 +1,9 @@
-"""Fused quantized-KV decode attention kernel vs the XLA oracle."""
+"""Fused quantized-KV decode attention kernel vs the XLA oracle.
+
+The kernel takes K TRANSPOSED — ``[b, kvh, hd, S]`` (canonical MXU score
+contraction; see the module docstring) — while the oracle keeps the natural
+``[b, kvh, S, hd]``; ``_t`` converts between them.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -6,6 +11,10 @@ import numpy as np
 import pytest
 
 from llm_qat_tpu.ops.pallas import decode_attention as DA
+
+
+def _t(k_q):
+    return jnp.swapaxes(k_q, 2, 3)
 
 
 def _make(b, kvh, groups, S, hd, seed=0):
@@ -16,6 +25,14 @@ def _make(b, kvh, groups, S, hd, seed=0):
     k_s = jnp.asarray(rng.uniform(0.005, 0.02, size=(b, S)), jnp.float32)
     v_s = jnp.asarray(rng.uniform(0.005, 0.02, size=(b, S)), jnp.float32)
     return q, k_q, k_s, v_q, v_s
+
+
+def _tables(S, hd, theta=10000.0):
+    """Hoisted RoPE tables in the kernel's transposed [hd/2, S] layout."""
+    pos = jnp.arange(S, dtype=jnp.float32)
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, hd, 2, dtype=jnp.float32) / hd))
+    fr = inv_freq[:, None] * pos[None, :]
+    return jnp.cos(fr), jnp.sin(fr)
 
 
 @pytest.mark.parametrize(
@@ -32,7 +49,7 @@ def test_kernel_matches_oracle(b, kvh, groups, S, hd, bk):
         [S // 2 + 1] + [S] * (b - 1), jnp.int32
     )  # ragged: first slot partial
     out = DA.quantized_decode_attention(
-        q, k_q, k_s, v_q, v_s, lengths, theta=10000.0, bk=bk
+        q, _t(k_q), k_s, v_q, v_s, lengths, theta=10000.0, bk=bk
     )
     ref = DA.decode_attention_reference(
         q, k_q, k_s, v_q, v_s, lengths, theta=10000.0
@@ -40,11 +57,24 @@ def test_kernel_matches_oracle(b, kvh, groups, S, hd, bk):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
-def test_length_one_and_full( ):
+def test_hoisted_tables_match_oracle():
+    """rope via precomputed cos/sin operands == the oracle's table math."""
+    b, kvh, groups, S, hd = 2, 2, 4, 128, 64
+    q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=5)
+    lengths = jnp.asarray([100, 128], jnp.int32)
+    kc, ksn = _tables(S, hd)
+    out = DA.quantized_decode_attention(
+        q, _t(k_q), k_s, v_q, v_s, lengths, kc, ksn, bk=64
+    )
+    ref = DA.decode_attention_reference(q, k_q, k_s, v_q, v_s, lengths)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_length_one_and_full():
     b, kvh, groups, S, hd = 3, 2, 2, 128, 64
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=1)
     lengths = jnp.asarray([1, 127, 128], jnp.int32)
-    out = DA.quantized_decode_attention(q, k_q, k_s, v_q, v_s, lengths, bk=64)
+    out = DA.quantized_decode_attention(q, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
     ref = DA.decode_attention_reference(q, k_q, k_s, v_q, v_s, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
@@ -54,11 +84,13 @@ def test_stale_rows_ignored():
     b, kvh, groups, S, hd = 1, 2, 2, 128, 64
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=2)
     lengths = jnp.asarray([70], jnp.int32)
-    out1 = DA.quantized_decode_attention(q, k_q, k_s, v_q, v_s, lengths, bk=64)
+    out1 = DA.quantized_decode_attention(q, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
     # poison everything past length
     k_q2 = k_q.at[:, :, 70:].set(127)
     v_q2 = v_q.at[:, :, 70:].set(-127)
-    out2 = DA.quantized_decode_attention(q, k_q2, k_s, v_q2, v_s, lengths, bk=64)
+    out2 = DA.quantized_decode_attention(
+        q, _t(k_q2), k_s, v_q2, v_s, lengths, bk=64
+    )
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
@@ -85,7 +117,7 @@ def test_paged_matches_contiguous(groups):
     lengths = jnp.asarray([P * 2 + 7, S], jnp.int32)
 
     out = DA.quantized_paged_attention(
-        q, pool_kq, pool_ks, pool_vq, pool_vs, lengths, bt
+        q, _t(pool_kq), pool_ks, pool_vq, pool_vs, lengths, bt
     )
 
     # gather the pages into a contiguous per-slot cache
@@ -97,11 +129,24 @@ def test_paged_matches_contiguous(groups):
         return jnp.take(pool_s, bt, axis=0).reshape(b, S)
 
     ref = DA.quantized_decode_attention(
-        q, gather(pool_kq), gather_s(pool_ks),
+        q, _t(gather(pool_kq)), gather_s(pool_ks),
         gather(pool_vq), gather_s(pool_vs), lengths, bk=P,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+    )
+
+    # and with hoisted tables on both
+    kc, ksn = _tables(S, hd)
+    out_t = DA.quantized_paged_attention(
+        q, _t(pool_kq), pool_ks, pool_vq, pool_vs, lengths, bt, kc, ksn
+    )
+    ref_t = DA.quantized_decode_attention(
+        q, _t(gather(pool_kq)), gather_s(pool_ks),
+        gather(pool_vq), gather_s(pool_vs), lengths, kc, ksn, bk=P,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t), np.asarray(ref_t), atol=2e-5, rtol=2e-5
     )
 
 
@@ -110,7 +155,7 @@ def test_bf16_query():
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=3)
     qb = q.astype(jnp.bfloat16)
     lengths = jnp.asarray([128, 90], jnp.int32)
-    out = DA.quantized_decode_attention(qb, k_q, k_s, v_q, v_s, lengths, bk=64)
+    out = DA.quantized_decode_attention(qb, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
     assert out.dtype == jnp.bfloat16
     ref = DA.decode_attention_reference(
         q.astype(jnp.bfloat16).astype(jnp.float32), k_q, k_s, v_q, v_s, lengths
