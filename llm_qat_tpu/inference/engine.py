@@ -54,9 +54,11 @@ def _bucket(n: int, lo: int = 16) -> int:
     return b
 
 
-def _single_device_forward(qparams, ids, lens, active, cache, *, config, dtype):
+def _single_device_forward(qparams, ids, lens, active, cache, *, config,
+                           dtype, from_empty=False):
     return M.serving_forward(
-        qparams, config, ids, lens, active, cache, dtype=dtype
+        qparams, config, ids, lens, active, cache, dtype=dtype,
+        from_empty=from_empty,
     )
 
 
@@ -136,6 +138,11 @@ class InferenceEngine:
             self._fwd = functools.partial(
                 _single_device_forward, config=config, dtype=dtype
             )
+            # batch-1 slot prefill (flash from-empty fast path) +
+            # in-place cache splice
+            self._prefill = lambda qp, ids: M.prefill_slot(
+                qp, config, ids, dtype=dtype
+            )
         else:
             from llm_qat_tpu.inference import sharded as S
 
@@ -144,13 +151,15 @@ class InferenceEngine:
                 config, max_batch, max_len, mesh
             )
             self._fwd = S.make_tp_forward(config, mesh, qparams, dtype=dtype)
+            self._prefill = S.make_tp_prefill(
+                config, mesh, qparams, dtype=dtype
+            )
         self.slots: List[Optional[Request]] = [None] * max_batch
         self.queue: deque[Request] = deque()
         self._uid = 0
         self._key = jax.random.PRNGKey(seed)
         # held logits for the next sample, one row per slot
         self._logits = np.zeros((max_batch, config.vocab_size), np.float32)
-        self._prefill = jax.jit(self._fwd)
 
     # ------------------------------------------------------------------ API
 
@@ -196,25 +205,22 @@ class InferenceEngine:
             bucket = min(_bucket(len(prompt)), self.max_len - 1)
             prompt = prompt[:bucket]
 
-            self._reset_slot(b)
-            lens = np.array(self.cache["lengths"])
-            active = np.zeros((self.max_batch,), bool)
-            active[b] = True
-            ids_full = np.zeros((self.max_batch, bucket), np.int32)
-            ids_full[b, : len(prompt)] = prompt
-            logits, self.cache = self._prefill(
-                self.qparams,
-                jnp.asarray(ids_full),
-                jnp.asarray(lens),
-                jnp.asarray(active),
+            # batch-1 prefill of just this slot, spliced into the
+            # persistent cache (donated buffers: no reallocation)
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, : len(prompt)] = prompt
+            logits, rows = self._prefill(self.qparams, jnp.asarray(ids))
+            self.cache = M.insert_slot(
                 self.cache,
+                {k: rows[k] for k in ("k_q", "k_s", "v_q", "v_s")},
+                jnp.int32(b),
             )
-            # prefill wrote `bucket` rows; trim the slot length back to the
-            # real prompt (padding rows beyond it stay invalid)
+            # prefill wrote `bucket` rows; the slot length is the real
+            # prompt (padding rows beyond it stay invalid)
             lengths = np.array(self.cache["lengths"])
             lengths[b] = len(prompt)
             self.cache = dict(self.cache, lengths=jnp.asarray(lengths))
-            self._logits[b] = np.asarray(logits[b, len(prompt) - 1])
+            self._logits[b] = np.asarray(logits[0, len(prompt) - 1])
             self.slots[b] = req
 
     def _reset_slot(self, b: int) -> None:

@@ -58,13 +58,17 @@ def init_serving_cache(
 
 
 def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
-              tp_axis=None, transposed=False):
+              tp_axis=None, transposed=False, return_fq=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
     at its own offset into head-major (cache_q [b, kvh, S, hd] — or
     [b, kvh, hd, S] when ``transposed`` (the K layout) — and cache_s
     [b, S]). Under tensor parallelism ``new`` holds the local head shard;
     the per-token scale is computed from the pmax over shards so the
-    sharded cache holds exactly the single-device integers."""
+    sharded cache holds exactly the single-device integers.
+
+    ``return_fq`` additionally returns the fake-quant (int·inv_scale) value
+    of ``new`` as ``[b, s, kvh, hd]`` f32 — bit-identical to reading the
+    just-written rows back out of the cache, without touching it."""
     b, s, _ = new.shape
     amax = None
     if tp_axis is not None:
@@ -73,6 +77,9 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
         )
     nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)  # int8 [b,s,kv], s [b,s,1]
     inv = (1.0 / (ns + 1e-6))[..., 0]             # [b, s] inverse scales
+    fq = None
+    if return_fq:
+        fq = (nq.astype(jnp.float32) * inv[..., None]).reshape(b, s, kvh, hd)
     if transposed:
         nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 3, 1)  # [b, kvh, hd, s]
     else:
@@ -86,7 +93,11 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
         cs = jax.lax.dynamic_update_slice(cs, s_new, (wp,))
         return cq, cs
 
-    return jax.vmap(write_row)(cache_q, cache_s, nq, inv, write_pos)
+    cache_q, cache_s = jax.vmap(write_row)(cache_q, cache_s, nq, inv,
+                                           write_pos)
+    if return_fq:
+        return cache_q, cache_s, fq
+    return cache_q, cache_s
 
 
 def _dequant_head_major(cq, cs, dtype):
@@ -112,11 +123,21 @@ def _serving_layer(
     dtype,
     tp_axis=None,
     rope_tables=None,        # (cos, sin) [max_len, hd/2] hoisted for decode
+    from_empty=False,        # static: active slots prefill at seq_len 0
 ) -> Tuple[jax.Array, Tuple[jax.Array, jax.Array, jax.Array, jax.Array]]:
     c = config
     b, s, _ = h.shape
     hd = c.head_dim
     kb = min(c.kv_bits, 8)  # cache storage is int8: >=8-bit configs quantize at 8
+    # flash prefill: when the caller guarantees active slots start at
+    # length 0 (engine _admit resets the slot), the only visible cache rows
+    # are this call's own fresh K/V — attend to the fake-quant values
+    # directly with the causal flash kernel instead of dequantizing the
+    # whole max_len cache per layer (O(s²) vs O(s·max_len) + full dequant)
+    flash_prefill = (
+        from_empty and s > 1 and c.use_prefill_flash
+        and s % min(128, s) == 0
+    )
 
     k_q, k_s, v_q, v_s = kv_layer
     max_len = v_q.shape[2]
@@ -143,14 +164,25 @@ def _serving_layer(
 
     # quantize new K/V per-token and write ("pre" = training hook point,
     # pre-RoPE integers, modeling_llama_quant.py:320-333); K transposed
-    k_q, k_s = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
-                         transposed=True)
-    v_q, v_s = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis)
+    k_q, k_s, fq_k = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
+                               transposed=True, return_fq=True)
+    v_q, v_s, fq_v = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis,
+                               return_fq=True)
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
 
-    if s == 1 and c.use_decode_kernel:
+    if flash_prefill:
+        from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
+
+        # fake-quant K/V of this call (== dequantized just-written rows);
+        # "pre" mode rotates K after dequant, "post" quantized rotated K
+        kf = fq_k.astype(dtype)
+        vf = fq_v.astype(dtype)
+        if not post_rope:
+            kf = llama.apply_rope(kf, qcos, qsin)
+        attn = flash_attention(qh.astype(dtype), kf, vf)
+    elif s == 1 and c.use_decode_kernel:
         # fused decode kernel: int8 cache blocks stream to VMEM; dequant +
         # K-RoPE + online softmax in-kernel; per-slot early exit at length
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
@@ -207,10 +239,15 @@ def _forward(
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
     tp_axis=None,
+    from_empty=False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Run ``s`` new tokens for every slot at its own offset. Inactive slots
     compute but don't commit (their cache rows are written at a scratch
     position and lengths don't advance).
+
+    ``from_empty=True`` (static) asserts every *active* slot has
+    ``seq_lens == 0`` — the engine's prefill contract — enabling the flash
+    prefill fast path (see ``_serving_layer``).
 
     With ``tp_axis`` this is the shard-local body of the tensor-parallel
     serving step (inference/sharded.py): qkv/gateup are column-sharded over
@@ -241,7 +278,7 @@ def _forward(
         lq, k_q, k_s, v_q, v_s = xs
         out, new_kv = _serving_layer(
             h, lq, c, positions, (k_q, k_s, v_q, v_s), write_pos, new_len,
-            dtype, tp_axis, rope_tables,
+            dtype, tp_axis, rope_tables, from_empty,
         )
         return out, new_kv
 
@@ -268,6 +305,51 @@ def _forward(
 
 
 @functools.partial(jax.jit, static_argnames=("config", "dtype"))
+def prefill_slot(
+    qparams: Dict[str, Any],
+    config: LlamaConfig,
+    input_ids: jax.Array,    # [1, s] — one slot's (bucketed) prompt
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Batch-1 prefill: run one slot's prompt from empty against a
+    temporary ``s``-row cache and return (logits [1, s, V], rows).
+
+    The engine's _admit used to prefill by running the forward over the
+    whole ``max_batch`` with one active slot — ``max_batch×`` redundant
+    compute. This computes exactly one slot and the caller splices the
+    returned rows into the persistent cache with `insert_slot`."""
+    b, s = input_ids.shape
+    cache = init_serving_cache(config, b, s)
+    return _forward(
+        qparams, config, input_ids,
+        jnp.zeros((b,), jnp.int32), jnp.ones((b,), bool), cache, dtype,
+        from_empty=True,
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def insert_slot(
+    cache: Dict[str, jax.Array],
+    rows: Dict[str, jax.Array],  # prefill_slot's cache (s rows, batch 1)
+    slot: jax.Array,             # scalar int32 (traced: no recompile/slot)
+) -> Dict[str, jax.Array]:
+    """Splice a batch-1 prefilled cache into ``slot`` at position 0 of the
+    persistent cache (donated: in-place buffer reuse). ``lengths`` stays
+    host-managed by the engine."""
+    upd = jax.lax.dynamic_update_slice
+    z = jnp.zeros((), jnp.int32)
+    return {
+        "k_q": upd(cache["k_q"], rows["k_q"], (z, slot, z, z, z)),
+        "k_s": upd(cache["k_s"], rows["k_s"], (z, slot, z)),
+        "v_q": upd(cache["v_q"], rows["v_q"], (z, slot, z, z, z)),
+        "v_s": upd(cache["v_s"], rows["v_s"], (z, slot, z)),
+        "lengths": cache["lengths"],
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("config", "dtype", "from_empty")
+)
 def serving_forward(
     qparams: Dict[str, Any],
     config: LlamaConfig,
@@ -276,8 +358,10 @@ def serving_forward(
     active: jax.Array,
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
+    from_empty=False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single-device serving step (see ``_forward``)."""
     return _forward(
-        qparams, config, input_ids, seq_lens, active, cache, dtype
+        qparams, config, input_ids, seq_lens, active, cache, dtype,
+        from_empty=from_empty,
     )

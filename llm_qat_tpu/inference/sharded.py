@@ -201,6 +201,7 @@ def make_tp_forward(
     qparams: Dict[str, Any],
     dtype=jnp.bfloat16,
     axis: str = "tp",
+    from_empty: bool = False,
 ):
     """Jitted tensor-parallel serving step with `serving_forward`'s
     signature minus config/dtype: ``fn(qparams, ids, seq_lens, active,
@@ -208,13 +209,15 @@ def make_tp_forward(
 
     ``qparams`` is only inspected for its structure (quantized vs fp
     projections) to build the specs; pass the same tree (or any tree of the
-    same structure) at call time."""
+    same structure) at call time. ``from_empty`` builds the prefill variant
+    (flash over fresh fake-quant KV; see model._serving_layer)."""
     qspecs = qparam_specs(qparams, axis)
     cspecs = cache_specs(axis)
     rep = P()
 
     local = functools.partial(
-        M._forward, config=config, dtype=dtype, tp_axis=axis
+        M._forward, config=config, dtype=dtype, tp_axis=axis,
+        from_empty=from_empty,
     )
 
     def fn(qp, ids, seq_lens, active, cache):
@@ -226,6 +229,50 @@ def make_tp_forward(
         mesh=mesh,
         in_specs=(qspecs, rep, rep, rep, cspecs),
         out_specs=(rep, cspecs),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_tp_prefill(
+    config: LlamaConfig,
+    mesh: Mesh,
+    qparams: Dict[str, Any],
+    dtype=jnp.bfloat16,
+    axis: str = "tp",
+):
+    """Jitted tensor-parallel batch-1 slot prefill (model.prefill_slot over
+    the mesh): ``fn(qparams, ids[1, s]) -> (logits, rows)``, rows sharded
+    over kv heads exactly like the persistent cache so `model.insert_slot`
+    splices them in without resharding."""
+    qspecs = qparam_specs(qparams, axis)
+    rep = P()
+    tp = mesh.shape[axis]
+    c = config
+    rows_specs = cache_specs(axis)
+
+    def fn(qp, ids):
+        b, s = ids.shape
+        kvh_local = c.kv_heads // tp
+        cache = {
+            "k_q": jnp.zeros((c.num_hidden_layers, b, kvh_local,
+                              c.head_dim, s), jnp.int8),
+            "k_s": jnp.ones((c.num_hidden_layers, b, s), jnp.float32),
+            "v_q": jnp.zeros((c.num_hidden_layers, b, kvh_local, s,
+                              c.head_dim), jnp.int8),
+            "v_s": jnp.ones((c.num_hidden_layers, b, s), jnp.float32),
+            "lengths": jnp.zeros((b,), jnp.int32),
+        }
+        return M._forward(
+            qp, c, ids, jnp.zeros((b,), jnp.int32), jnp.ones((b,), bool),
+            cache, dtype, tp_axis=axis, from_empty=True,
+        )
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(qspecs, rep),
+        out_specs=(rep, rows_specs),
         check_vma=False,
     )
     return jax.jit(sharded)

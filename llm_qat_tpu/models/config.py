@@ -37,6 +37,8 @@ class LlamaConfig:
     symmetric: bool = True        # act quantizer choice (utils_quant.py:184-188)
     use_flash_attention: bool = False  # Pallas blockwise attention (training fwd)
     use_decode_kernel: bool = True     # fused int8-KV decode attention (serving)
+    use_prefill_flash: bool = True     # flash prefill over fresh fake-quant KV
+                                       # (serving, from-empty slots only)
     # Serving KV-cache layout: "pre" stores pre-RoPE integers (the training
     # hook point, modeling_llama_quant.py:320-333 — RoPE re-applied to the
     # cache on read); "post" rotates K before quantizing so reads skip RoPE

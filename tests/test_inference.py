@@ -179,3 +179,58 @@ def test_engine_long_prompt_bucket_fits_cache():
     eng.submit(prompt, max_new_tokens=4)
     done = eng.run()
     assert len(done) == 1 and len(done[0].output) == 4
+
+
+@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+def test_flash_prefill_matches_xla_prefill(rope_mode):
+    """from_empty flash prefill (fresh fake-quant KV, causal flash kernel)
+    must match the XLA whole-cache prefill path: logits and the cache ints
+    it writes."""
+    cfg = CFG.replace(kv_cache_rope=rope_mode)
+    qp = Q.quantize_params(PARAMS, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, cfg.vocab_size)
+    lens = jnp.zeros((2,), jnp.int32)
+    act = jnp.ones((2,), bool)
+
+    cache_a = M.init_serving_cache(cfg, batch=2, max_len=64)
+    la, ca = M.serving_forward(
+        qp, cfg.replace(use_prefill_flash=False), ids, lens, act, cache_a,
+        dtype=jnp.float32,
+    )
+    cache_b = M.init_serving_cache(cfg, batch=2, max_len=64)
+    lb, cb = M.serving_forward(
+        qp, cfg, ids, lens, act, cache_b, dtype=jnp.float32, from_empty=True,
+    )
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_array_equal(
+        np.asarray(ca["lengths"]), np.asarray(cb["lengths"])
+    )
+    # scales can differ in the last ulp (different fusion order changes
+    # f32 rounding), which can flip a borderline int by 1
+    for k in ("k_s", "v_s"):
+        np.testing.assert_allclose(np.asarray(ca[k]), np.asarray(cb[k]),
+                                   rtol=1e-6)
+    for k in ("k_q", "v_q"):
+        diff = np.abs(
+            np.asarray(ca[k], np.int32) - np.asarray(cb[k], np.int32)
+        )
+        assert diff.max() <= 1
+
+
+def test_engine_flash_prefill_token_parity():
+    """Engine output must be identical with the flash prefill on vs off
+    (greedy decoding; both prefill paths quantize the same ints)."""
+    prompts = [[3, 5, 7, 11, 13, 17, 19, 23], [2, 4, 6]]
+    outs = []
+    for flag in (True, False):
+        eng = E.InferenceEngine(
+            Q.quantize_params(PARAMS, CFG.replace(use_prefill_flash=flag)),
+            CFG.replace(use_prefill_flash=flag),
+            max_batch=2, max_len=64, dtype=jnp.float32,
+        )
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        done = sorted(eng.run(), key=lambda r: r.uid)
+        outs.append([r.output for r in done])
+    assert outs[0] == outs[1]
