@@ -71,13 +71,17 @@ def init_paged_cache(
 
 
 def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
-                tp_axis=None, transposed=False):
+                tp_axis=None, transposed=False, return_fq=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and scatter rows into the
     head-major pool at (page, offset) — pool [np, kvh, P, hd], or
     [np, kvh, hd, P] when ``transposed`` (the K layout). Under tensor
     parallelism ``new`` is the local head shard; the per-token scale comes
     from the pmax'd global absmax so the sharded pool holds exactly the
-    single-device integers."""
+    single-device integers.
+
+    ``return_fq`` additionally returns the fake-quant (int·inv_scale) value
+    of ``new`` as ``[b, s, kvh, hd]`` f32 — bit-identical to gathering the
+    just-written rows back out of the pool, without touching it."""
     b, s, _ = new.shape
     amax = None
     if tp_axis is not None:
@@ -86,6 +90,9 @@ def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
         )
     nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)
     inv = (1.0 / (ns + 1e-6))[..., 0]                    # [b, s]
+    fq = None
+    if return_fq:
+        fq = (nq.astype(jnp.float32) * inv[..., None]).reshape(b, s, kvh, hd)
     nq = nq.reshape(b * s, kvh, hd)
     pg = pages.reshape(-1)
     of = offsets.reshape(-1)
@@ -94,6 +101,8 @@ def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
     else:
         pool_q = pool_q.at[pg, :, of].set(nq)
     pool_s = pool_s.at[pg, of].set(inv.reshape(-1))
+    if return_fq:
+        return pool_q, pool_s, fq
     return pool_q, pool_s
 
 
@@ -126,12 +135,19 @@ def _paged_layer(
     dtype,
     tp_axis=None,
     rope_tables=None,          # (cos, sin) [max_tok, hd/2] hoisted for decode
+    from_empty=False,          # static: active slots prefill at seq_len 0
 ):
     c = config
     b, s, _ = h.shape
     hd = c.head_dim
     P = pcfg.page_size
     kb = min(c.kv_bits, 8)  # cache storage is int8: >=8-bit configs quantize at 8
+    # flash prefill (see model._serving_layer): from-empty slots see only
+    # this call's own fresh K/V, so skip the whole-table gather+dequant
+    flash_prefill = (
+        from_empty and s > 1 and c.use_prefill_flash
+        and s % min(128, s) == 0
+    )
 
     k_q, k_s, v_q, v_s = kv_pool
     # local head counts come from the (possibly tp-sharded) pool / fused
@@ -155,18 +171,27 @@ def _paged_layer(
         krot = llama.apply_rope(k.reshape(b, s, kvh, hd), qcos, qsin)
         k = krot.reshape(b, s, kvh * hd)
 
-    k_q, k_s = _write_pool(
+    k_q, k_s, fq_k = _write_pool(
         k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis,
-        transposed=True,
+        transposed=True, return_fq=True,
     )
-    v_q, v_s = _write_pool(
-        v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis
+    v_q, v_s, fq_v = _write_pool(
+        v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis,
+        return_fq=True,
     )
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
 
-    if s == 1 and c.use_decode_kernel:
+    if flash_prefill:
+        from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
+
+        kf = fq_k.astype(dtype)
+        vf = fq_v.astype(dtype)
+        if not post_rope:
+            kf = llama.apply_rope(kf, qcos, qsin)
+        attn = flash_attention(qh.astype(dtype), kf, vf)
+    elif s == 1 and c.use_decode_kernel:
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_paged_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables, kc, ksn,
@@ -220,11 +245,17 @@ def _forward(
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
     tp_axis=None,
+    from_empty=False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Paged analog of `model.serving_forward`. The host must have assigned
     enough pages in ``block_tables`` to cover ``seq_lens + s``. Inactive
     slots write into page ``n_pages-1`` (reserved scratch) and don't
     advance.
+
+    ``from_empty=True`` (static) asserts every *active* slot has
+    ``seq_lens == 0`` — the engine's prefill contract — enabling the flash
+    prefill fast path. Because writes scatter straight into the shared
+    pool, prefilling a single slot is just this call with ``b == 1``.
 
     With ``tp_axis`` this is the shard-local body of the tensor-parallel
     paged step (inference/sharded.py): the page pool is sharded over kv
@@ -264,7 +295,7 @@ def _forward(
         out, kv = _paged_layer(
             h, lq, c, pcfg, positions, block_tables,
             (k_q, k_s, v_q, v_s), pages, offsets, new_len, dtype, tp_axis,
-            rope_tables,
+            rope_tables, from_empty,
         )
         return out, kv
 
@@ -283,7 +314,7 @@ def _forward(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "pcfg", "dtype")
+    jax.jit, static_argnames=("config", "pcfg", "dtype", "from_empty")
 )
 def paged_forward(
     qparams,
@@ -295,11 +326,12 @@ def paged_forward(
     block_tables: jax.Array,
     cache: Dict[str, jax.Array],
     dtype=jnp.bfloat16,
+    from_empty=False,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single-device paged serving step (see ``_forward``)."""
     return _forward(
         qparams, config, pcfg, input_ids, seq_lens, active, block_tables,
-        cache, dtype,
+        cache, dtype, from_empty=from_empty,
     )
 
 

@@ -25,10 +25,12 @@ from llm_qat_tpu.models.config import LlamaConfig
 
 
 def _single_device_paged_forward(
-    qparams, ids, lens, active, tables, cache, *, config, pcfg, dtype
+    qparams, ids, lens, active, tables, cache, *, config, pcfg, dtype,
+    from_empty=False,
 ):
     return PG.paged_forward(
-        qparams, config, pcfg, ids, lens, active, tables, cache, dtype=dtype
+        qparams, config, pcfg, ids, lens, active, tables, cache, dtype=dtype,
+        from_empty=from_empty,
     )
 
 
@@ -102,6 +104,10 @@ class PagedInferenceEngine:
                 _single_device_paged_forward,
                 config=config, pcfg=self.pcfg, dtype=dtype,
             )
+            self._prefill = functools.partial(
+                _single_device_paged_forward,
+                config=config, pcfg=self.pcfg, dtype=dtype, from_empty=True,
+            )
         else:
             from llm_qat_tpu.inference import sharded as S
 
@@ -109,6 +115,10 @@ class PagedInferenceEngine:
             self.cache = S.init_paged_cache_tp(config, self.pcfg, mesh)
             self._fwd = S.make_tp_paged_forward(
                 config, self.pcfg, mesh, qparams, dtype=dtype
+            )
+            self._prefill = S.make_tp_paged_forward(
+                config, self.pcfg, mesh, qparams, dtype=dtype,
+                from_empty=True,
             )
         self.alloc = PG.PageAllocator(self.pcfg)
         self.slots: List[Optional[Request]] = [None] * max_batch
@@ -121,9 +131,6 @@ class PagedInferenceEngine:
         self._tables = np.zeros(
             (max_batch, self.pcfg.max_pages_per_seq), np.int32
         )
-        # _fwd is jitted (or jit-wrapped via shard_map) already; prefill
-        # reuses it directly — one program per prompt bucket
-        self._prefill = self._fwd
 
     # ------------------------------------------------------------------ API
 
@@ -214,18 +221,17 @@ class PagedInferenceEngine:
                 break  # pool dry; decode what's running, retry later
             self.queue.popleft()
 
-            lens = np.array(self.lengths)
-            lens[b] = 0
-            active = np.zeros((self.max_batch,), bool)
-            active[b] = True
-            ids_full = np.zeros((self.max_batch, bucket), np.int32)
-            ids_full[b, : len(prompt)] = prompt
+            # batch-1 prefill of just this slot: paged writes scatter
+            # straight into the shared pool, so no splice is needed
+            ids = np.zeros((1, bucket), np.int32)
+            ids[0, : len(prompt)] = prompt
             logits, self.cache = self._prefill(
-                self.qparams, jnp.asarray(ids_full), jnp.asarray(lens),
-                jnp.asarray(active), jnp.asarray(self._tables), self.cache,
+                self.qparams, jnp.asarray(ids),
+                jnp.zeros((1,), jnp.int32), jnp.ones((1,), bool),
+                jnp.asarray(self._tables[b : b + 1]), self.cache,
             )
             self.lengths[b] = len(prompt)
-            self._logits[b] = np.asarray(logits[b, len(prompt) - 1])
+            self._logits[b] = np.asarray(logits[0, len(prompt) - 1])
             self.slots[b] = req
 
     def step(self) -> List[Request]:

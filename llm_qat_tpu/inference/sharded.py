@@ -320,11 +320,13 @@ def make_tp_paged_forward(
     qparams: Dict[str, Any],
     dtype=jnp.bfloat16,
     axis: str = "tp",
+    from_empty: bool = False,
 ):
     """Jitted tensor-parallel paged serving step: ``fn(qparams, ids,
     seq_lens, active, block_tables, cache) -> (logits, cache)``. Same
     sharding scheme as `make_tp_forward`; block tables and lengths are
-    host-managed and replicated."""
+    host-managed and replicated. ``from_empty`` builds the prefill variant
+    (flash over fresh fake-quant KV; call with ``b == 1`` rows)."""
     from llm_qat_tpu.inference import paged as PG
 
     qspecs = qparam_specs(qparams, axis)
@@ -332,7 +334,8 @@ def make_tp_paged_forward(
     rep = P()
 
     local = functools.partial(
-        PG._forward, config=config, pcfg=pcfg, dtype=dtype, tp_axis=axis
+        PG._forward, config=config, pcfg=pcfg, dtype=dtype, tp_axis=axis,
+        from_empty=from_empty,
     )
 
     def fn(qp, ids, seq_lens, active, block_tables, cache):

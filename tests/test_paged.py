@@ -82,3 +82,34 @@ def test_page_allocator():
     except MemoryError:
         raised = True
     assert raised
+
+
+def test_paged_flash_prefill_matches_xla_prefill():
+    """from_empty flash prefill must match the XLA gather-dequant path:
+    logits and the pool rows it writes (s=16 is flash-eligible)."""
+    ids = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, CFG.vocab_size)
+    tables = jnp.asarray([[7, 3, 0, 0], [11, 5, 0, 0]], jnp.int32)
+    lens = jnp.zeros((2,), jnp.int32)
+    act = jnp.ones((2,), bool)
+
+    la, ca = PG.paged_forward(
+        QPARAMS, CFG.replace(use_prefill_flash=False), PCFG, ids, lens, act,
+        tables, PG.init_paged_cache(CFG, PCFG), dtype=jnp.float32,
+        from_empty=True,
+    )
+    lb, cb = PG.paged_forward(
+        QPARAMS, CFG, PCFG, ids, lens, act,
+        tables, PG.init_paged_cache(CFG, PCFG), dtype=jnp.float32,
+        from_empty=True,
+    )
+    np.testing.assert_allclose(np.asarray(lb), np.asarray(la),
+                               rtol=5e-3, atol=5e-3)
+    # ints can flip by 1 where a scale differs in the last ulp
+    for k in ("k_q", "v_q"):
+        diff = np.abs(
+            np.asarray(ca[k], np.int32) - np.asarray(cb[k], np.int32)
+        )
+        assert diff.max() <= 1
+    for k in ("k_s", "v_s"):
+        np.testing.assert_allclose(np.asarray(ca[k]), np.asarray(cb[k]),
+                                   rtol=1e-6)
