@@ -165,7 +165,16 @@ def quant_linear(
     xq, M = QM._pad_rows(xq, 32)
     sx, _ = QM._pad_rows(sx, 32)
 
-    mm = QM.int8_matmul if w_bits == 8 else QM.int4_matmul
+    if w_bits == 8:
+        # prefill-size batches hit XLA's int8 dot past the measured
+        # crossover; decode-size batches keep the weight-bound Pallas kernel
+        mm = (
+            QM.int8_matmul_xla
+            if M >= QM.XLA_INT8_MIN_ROWS
+            else QM.int8_matmul
+        )
+    else:
+        mm = QM.int4_matmul
     N = qw["s"].shape[-1]
     if n_chunks <= 1 or N % n_chunks:
         n_chunks = 1

@@ -11,7 +11,7 @@ rather than approximate: the fake-quant matmul
 so the integer dot (exact in int32) followed by one scale fixup IS the
 fake-quant product — with *less* rounding error than the bf16 emulation.
 The QAT forward therefore runs on the int8 MXU path (2x rate, half the
-weight bytes) via `quant_matmul.int8_matmul`, and the custom VJP applies
+weight bytes) via XLA's native int8 ``dot_general``, and the custom VJP applies
 the reference's STE masks (zero outside ±2, utils_quant.py:83-87) around
 plain bf16 backward matmuls against the *fake-quant* operands.
 
@@ -27,7 +27,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from llm_qat_tpu.ops.pallas import quant_matmul as QM
 from llm_qat_tpu.ops.quantize import DEFAULT_CLIP
 
 _EPS = 1e-6
@@ -49,12 +48,16 @@ def _quant_int(x: jax.Array, bits: int, axis: int) -> Tuple[jax.Array, jax.Array
 def _fwd_impl(x2: jax.Array, w: jax.Array, w_bits: int, a_bits: int):
     xq, sx = _quant_int(x2, a_bits, axis=-1)
     wq, sw = _quant_int(w, w_bits, axis=0)
-    out = QM.int8_matmul(
-        *(QM._pad_rows(xq, 32)[0], wq),
-        QM._pad_rows(sx, 32)[0],
-        sw,
-        out_dtype=jnp.float32,
-    )[: x2.shape[0]]
+    # The int32 dot is exact, so XLA's native int8 dot_general and the Pallas
+    # int8 kernel are bit-identical here; XLA's is ~1.7-2x faster at training
+    # shapes (M = b*s >= 512: measured 406 vs 234 TF/s on v5e at M=8192).
+    # The Pallas kernel (quant_matmul.int8_matmul) remains the decode/serving
+    # path, where small-M weight-HBM-bound tiling is what matters.
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) / ((sx + _EPS) * (sw + _EPS))
     return out, (xq, sx, wq, sw)
 
 

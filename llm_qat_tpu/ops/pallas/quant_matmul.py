@@ -199,6 +199,34 @@ def int8_matmul(
     )(xq, wq, sx, sw)
 
 
+def int8_matmul_xla(
+    xq: jax.Array,   # [M, K] int8
+    wq: jax.Array,   # [K, N] int8
+    sx: jax.Array,   # [M, 1] f32
+    sw: jax.Array,   # [1, N] f32
+    *,
+    out_dtype=jnp.bfloat16,
+    **_tile_kwargs,
+) -> jax.Array:
+    """Same math as `int8_matmul` via XLA's native int8 dot (bit-identical:
+    the int32 dot is exact either way). Faster than the decode-tuned Pallas
+    kernel at prefill/training shapes — measured 406 vs 234 TF/s at M=8192
+    and 0.6-0.85x the Pallas time at M>=128 on v5e; the Pallas kernel wins
+    at decode (M<=32, weight-HBM-bound)."""
+    acc = jax.lax.dot_general(
+        xq, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) / ((sx + _EPS) * (sw + _EPS))).astype(
+        out_dtype
+    )
+
+
+# measured crossover on v5e (see int8_matmul_xla): below this row count the
+# Pallas kernel's weight-bound tiling wins, above it XLA's int8 dot does
+XLA_INT8_MIN_ROWS = 128
+
+
 def _pad_rows(x: jax.Array, multiple: int) -> Tuple[jax.Array, int]:
     M = x.shape[0]
     pad = (-M) % multiple
@@ -218,8 +246,11 @@ def w8a8_matmul(
     bk: int = 1024,
 ) -> jax.Array:
     """Dynamic per-token activation quant + int8 matmul. Rows are padded to
-    the tile multiple (decode steps have tiny M)."""
+    the tile multiple (decode steps have tiny M); large-M calls route to the
+    XLA int8 dot (`int8_matmul_xla`) past the measured crossover."""
     xq, sx = quantize_per_token(x)
+    if x.shape[0] >= XLA_INT8_MIN_ROWS:
+        return int8_matmul_xla(xq, wq, sx, sw, out_dtype=out_dtype)
     xq, M = _pad_rows(xq, 32)
     sx, _ = _pad_rows(sx, 32)
     out = int8_matmul(xq, wq, sx, sw, out_dtype=out_dtype, bm=bm, bn=bn, bk=bk)
