@@ -89,11 +89,15 @@ def _fq_fwd(x, w, w_bits, a_bits):
 def _fq_bwd(w_bits, a_bits, res, g):
     x, w, xq, sx, wq, sw = res
     lead = x.shape[:-1]
-    g2 = g.reshape(-1, g.shape[-1]).astype(jnp.float32)
+    # backward matmuls run at the model compute dtype (bf16 under the
+    # canonical recipe — matching the reference's bf16 autocast backward,
+    # run_train.sh:15) with fp32 MXU accumulation; fp32 inputs stay fp32
+    mm_t = g.dtype
+    g2 = g.reshape(-1, g.shape[-1])
 
     # fake-quant operands (dequantized ints == round(x*s)/(s+eps))
-    x_fq = xq.astype(jnp.float32) / (sx + _EPS)
-    w_fq = wq.astype(jnp.float32) / (sw + _EPS)
+    x_fq = (xq.astype(jnp.float32) / (sx + _EPS)).astype(mm_t)
+    w_fq = (wq.astype(jnp.float32) / (sw + _EPS)).astype(mm_t)
 
     lo, hi = DEFAULT_CLIP
     dx = jnp.matmul(g2, w_fq.T, preferred_element_type=jnp.float32)
