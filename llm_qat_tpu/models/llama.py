@@ -253,6 +253,7 @@ def backbone(
     attention_mask: Optional[jax.Array] = None,  # [b, s] 1=keep
     positions: Optional[jax.Array] = None,  # [b, s] absolute positions
     remat: bool = False,
+    remat_policy: str = "save_attn",
     dtype=None,
 ) -> jax.Array:
     """Decoder sweep returning the final hidden states ``[b, s, H]``
@@ -261,7 +262,10 @@ def backbone(
     The 32-layer loop of the reference (modeling_llama_quant.py:724-756)
     becomes a single ``lax.scan`` over stacked layer params; ``remat=True``
     wraps the body in ``jax.checkpoint`` (reference's gradient checkpointing,
-    run_train.sh:36).
+    run_train.sh:36). ``remat_policy="save_attn"`` keeps each layer's
+    attention output ([b, s, H] bf16 — 34 MB/layer at b=4 s=2048 H=2048)
+    so the backward never re-runs the flash kernel; "none" saves nothing
+    (the reference's torch.utils.checkpoint behavior).
     """
     c = config
     b, s = input_ids.shape
@@ -287,7 +291,17 @@ def backbone(
         return out, None
 
     if remat:
-        body = jax.checkpoint(body, prevent_cse=False)
+        # "save_attn" saves the flash kernel's output + log-sum-exp (named
+        # inside its custom_vjp fwd) so the backward never re-runs the
+        # forward attention kernel
+        policy = (
+            jax.checkpoint_policies.save_only_these_names(
+                "attn_out", "attn_lse"
+            )
+            if remat_policy == "save_attn"
+            else None
+        )
+        body = jax.checkpoint(body, prevent_cse=False, policy=policy)
     h, _ = jax.lax.scan(body, h, params["layers"])
     return h
 

@@ -28,6 +28,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -316,6 +317,11 @@ def flash_attention_gqa(q, k, v, bq: int = 512, bk: int = 512):
 
 def _fa_fwd(q, k, v, bq, bk):
     o, lse = _flash_fwd(q, k, v, bq, bk)
+    # named so a remat policy can save the kernel's residuals and skip the
+    # flash forward recompute in the backward pass (models.llama.backbone's
+    # remat_policy="save_attn")
+    o = checkpoint_name(o, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
     return o, (q, k, v, o, lse)
 
 
