@@ -235,14 +235,31 @@ def causal_mask(
     return jnp.where(m, 0.0, _NEG_INF).astype(dtype)
 
 
+def head_matrix(params: Params, config: LlamaConfig) -> jax.Array:
+    """The (unquantized) lm_head weight ``[H, V]``
+    (modeling_llama_quant.py:793; tied embeddings transpose)."""
+    return params["embed"].T if config.tie_word_embeddings else params["lm_head"]
+
+
 def _logits(params: Params, config: LlamaConfig, h: jax.Array) -> jax.Array:
     h = rms_norm(h, params["final_norm"], config.rms_norm_eps)
-    head = (
-        params["embed"].T if config.tie_word_embeddings else params["lm_head"]
-    )
+    head = head_matrix(params, config)
     # lm_head is a plain fp Linear in the reference (modeling_llama_quant.py:793)
     acc_t = jnp.promote_types(h.dtype, jnp.float32)
     return jnp.matmul(h, head.astype(h.dtype), preferred_element_type=acc_t)
+
+
+def final_hidden(
+    params: Params, config: LlamaConfig, input_ids: jax.Array, **kw
+) -> jax.Array:
+    """Backbone + final RMSNorm, WITHOUT the lm_head — ``[b, s, H]``.
+
+    Loss kernels that chunk the vocab projection (training.trainer's
+    chunked KD loss) consume this so the full fp32 ``[b, s, V]`` logits
+    never materialize (SURVEY.md §7 "KD at batch 1 x 2048 x KL over 32k
+    vocab ... chunk the loss")."""
+    h = backbone(params, config, input_ids, **kw)
+    return rms_norm(h, params["final_norm"], config.rms_norm_eps)
 
 
 def backbone(

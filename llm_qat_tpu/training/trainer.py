@@ -108,6 +108,55 @@ def kd_kl_loss(
     return total / b
 
 
+def chunked_kd_kl(
+    student_h: jax.Array,   # [b, s, H] post-final-norm hidden (bf16)
+    teacher_h: jax.Array,   # [b, s, H]
+    student_head: jax.Array,  # [H, V]
+    teacher_head: jax.Array,  # [H, V]
+    chunk: int,
+) -> jax.Array:
+    """`kd_kl_loss` with the lm_head fused into the sequence chunks.
+
+    The full fp32 ``[b, s, V]`` logits never exist: each scan step projects
+    one ``[b, chunk, H]`` slice through the head, reduces the KL sum in
+    fp32, and ``jax.checkpoint`` on the body drops the per-chunk logits so
+    the backward recomputes them instead of saving n copies. Peak loss
+    memory is one chunk's logits (student+teacher) instead of 4 full-size
+    fp32 tensors — the fix for SURVEY.md §7's "logits dominate step memory"
+    hard part. Numerics are identical to `kd_kl_loss` (same matmul dtype,
+    same fp32 reduction order over chunks)."""
+    b, s, _ = student_h.shape
+    if not (chunk and s % chunk == 0):
+        chunk = s
+    n = s // chunk
+    hs = jnp.moveaxis(student_h.reshape(b, n, chunk, -1), 1, 0)
+    ht = jnp.moveaxis(teacher_h.reshape(b, n, chunk, -1), 1, 0)
+
+    @jax.checkpoint
+    def body(carry, xs):
+        hs_i, ht_i = xs
+        acc_t = jnp.promote_types(hs_i.dtype, jnp.float32)
+        ls = jax.nn.log_softmax(
+            jnp.matmul(
+                hs_i, student_head.astype(hs_i.dtype),
+                preferred_element_type=acc_t,
+            ),
+            axis=-1,
+        )
+        lt = jax.nn.log_softmax(
+            jnp.matmul(
+                ht_i, teacher_head.astype(ht_i.dtype),
+                preferred_element_type=acc_t,
+            ),
+            axis=-1,
+        )
+        pt = jnp.exp(lt)
+        return carry + jnp.sum(pt * (lt - ls)), None
+
+    total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), (hs, ht))
+    return total / b
+
+
 # ---------------------------------------------------------------------------
 # Optimizer / schedule
 # ---------------------------------------------------------------------------
@@ -173,15 +222,45 @@ def make_train_step(
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         ids = batch["input_ids"]
         mask = batch.get("attention_mask")
-
-        teacher_logits = jax.lax.stop_gradient(
-            llama.forward(
-                teacher_params, teacher_cfg, ids,
-                attention_mask=mask, dtype=train_cfg.compute_dtype,
-            )
+        chunked_kl = (
+            train_cfg.use_kd
+            and train_cfg.kd_loss_type != "mse"
+            and bool(train_cfg.kl_chunk)
         )
 
+        if chunked_kl:
+            # head fused into the chunked loss: full logits never exist
+            teacher_ref = jax.lax.stop_gradient(
+                llama.final_hidden(
+                    teacher_params, teacher_cfg, ids,
+                    attention_mask=mask, dtype=train_cfg.compute_dtype,
+                )
+            )
+            teacher_head = jax.lax.stop_gradient(
+                llama.head_matrix(teacher_params, teacher_cfg)
+            )
+        else:
+            teacher_ref = jax.lax.stop_gradient(
+                llama.forward(
+                    teacher_params, teacher_cfg, ids,
+                    attention_mask=mask, dtype=train_cfg.compute_dtype,
+                )
+            )
+
         def loss_fn(params):
+            if chunked_kl:
+                student_h = llama.final_hidden(
+                    params, model_cfg, ids,
+                    attention_mask=mask,
+                    remat=train_cfg.remat,
+                    dtype=train_cfg.compute_dtype,
+                )
+                kd = chunked_kd_kl(
+                    student_h, teacher_ref,
+                    llama.head_matrix(params, model_cfg), teacher_head,
+                    train_cfg.kl_chunk,
+                )
+                return train_cfg.kd_loss_scale * kd
             student_logits = llama.forward(
                 params, model_cfg, ids,
                 attention_mask=mask,
@@ -193,14 +272,12 @@ def make_train_step(
                     kd = jnp.mean(
                         (
                             student_logits.astype(jnp.float32)
-                            - teacher_logits.astype(jnp.float32)
+                            - teacher_ref.astype(jnp.float32)
                         )
                         ** 2
                     )
                 else:
-                    kd = kd_kl_loss(
-                        student_logits, teacher_logits, train_cfg.kl_chunk
-                    )
+                    kd = kd_kl_loss(student_logits, teacher_ref, 0)
                 loss = train_cfg.kd_loss_scale * kd
             else:
                 loss = llama.causal_lm_loss(student_logits, batch["labels"])

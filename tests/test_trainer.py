@@ -126,3 +126,50 @@ def test_grad_accum_scaling():
     l1 = float(T.Trainer(CFG, tcfg1, copy(sp), tp).train_step(b)["loss"])
     l2 = float(T.Trainer(CFG, tcfg2, copy(sp), tp).train_step(b)["loss"])
     assert l2 == pytest.approx(l1 / 4, rel=1e-5)
+
+
+def test_chunked_kd_kl_matches_logits_path():
+    """The head-fused chunked KL (no full-logits materialization) must equal
+    kd_kl_loss on materialized logits, in value and in gradients."""
+    cfg = CFG.replace(tie_word_embeddings=False)
+    fp = cfg.replace(w_bits=32, a_bits=32, kv_bits=32)
+    sp = llama.init_params(cfg, jax.random.PRNGKey(1))
+    tp = llama.init_params(fp, jax.random.PRNGKey(0))
+    ids = _batch(b=2, s=16)["input_ids"]
+
+    teacher_h = llama.final_hidden(tp, fp, ids)
+    teacher_head = llama.head_matrix(tp, fp)
+
+    def loss_chunked(p):
+        h = llama.final_hidden(p, cfg, ids)
+        return T.chunked_kd_kl(
+            h, teacher_h, llama.head_matrix(p, cfg), teacher_head, chunk=4
+        )
+
+    def loss_full(p):
+        return T.kd_kl_loss(
+            llama.forward(p, cfg, ids), llama.forward(tp, fp, ids)
+        )
+
+    l1, g1 = jax.value_and_grad(loss_chunked)(sp)
+    l2, g2 = jax.value_and_grad(loss_full)(sp)
+    assert float(l1) == pytest.approx(float(l2), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_trainer_chunked_kl_step_matches_unchunked():
+    """Full train step with kl_chunk on vs off: same loss."""
+    tp = llama.init_params(
+        CFG.replace(w_bits=32, a_bits=32, kv_bits=32), jax.random.PRNGKey(0)
+    )
+    sp = llama.init_params(CFG, jax.random.PRNGKey(1))
+    batch = _batch()
+    copy = lambda t: jax.tree.map(jnp.copy, t)
+    tcfg0 = T.TrainConfig(remat=False, compute_dtype=jnp.float32, kl_chunk=0)
+    tcfg1 = T.TrainConfig(remat=False, compute_dtype=jnp.float32, kl_chunk=4)
+    l0 = float(T.Trainer(CFG, tcfg0, copy(sp), tp).train_step(batch)["loss"])
+    l1 = float(T.Trainer(CFG, tcfg1, copy(sp), tp).train_step(batch)["loss"])
+    assert l1 == pytest.approx(l0, rel=1e-6)
