@@ -67,6 +67,9 @@ class TrainingArguments:
     max_steps: int = -1                 # -1: derive from epochs x data
     resume_from_checkpoint: bool = False  # restore latest step in output_dir
     debug_nans: bool = False            # jax nan-checking (SURVEY §5 sanitizers)
+    # fast paths (on by default; flags to fall back to the plain XLA paths)
+    no_flash_attention: bool = False    # Pallas blockwise attention fwd+bwd
+    no_fused_qat_matmul: bool = False   # int8-MXU fused fake-quant matmuls
     # mesh layout (replaces torchrun/--fsdp flags, run_train.sh:8,42-43)
     mesh_data: int = 1
     mesh_fsdp: int = -1
