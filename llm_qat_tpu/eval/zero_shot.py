@@ -16,6 +16,7 @@ dynamic shapes.
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Callable, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -28,12 +29,23 @@ from llm_qat_tpu.models.config import LlamaConfig
 
 @dataclasses.dataclass
 class MCExample:
-    """One multiple-choice item: token ids for the shared context and for
-    each candidate continuation."""
+    """One multiple-choice item.
+
+    Two layouts:
+    - shared context (``ctx_lens is None``): ``context`` holds the context
+      token ids shared by all choices and each entry of ``choices`` is a
+      continuation; the scored row is ``context + choice``.
+    - per-choice context (``ctx_lens`` set — winogrande's lm-eval "partial
+      evaluation" scheme, where the option lives in the *context*): each
+      entry of ``choices`` is already the FULL row (context + continuation)
+      and ``ctx_lens[i]`` is how many leading tokens are context; only the
+      remaining suffix tokens are scored.
+    """
 
     context: Sequence[int]
     choices: Sequence[Sequence[int]]
     gold: int
+    ctx_lens: Optional[Sequence[int]] = None
 
 
 def _logprob_fn(config: LlamaConfig, compute_dtype):
@@ -71,9 +83,14 @@ def score_examples(
     row_meta: List[tuple] = []  # (example_idx, choice_idx, ctx_len)
     for ei, ex in enumerate(examples):
         for ci, cont in enumerate(ex.choices):
-            ids = list(ex.context) + list(cont)
+            if ex.ctx_lens is not None:
+                ids = list(cont)  # cont is already the full row
+                ctx_len = ex.ctx_lens[ci]
+            else:
+                ids = list(ex.context) + list(cont)
+                ctx_len = len(ex.context)
             rows.append(np.asarray(ids, np.int32))
-            row_meta.append((ei, ci, len(ex.context)))
+            row_meta.append((ei, ci, ctx_len))
 
     scores = np.full((len(examples), max(len(e.choices) for e in examples)), -np.inf)
     norm_scores = np.full_like(scores, -np.inf)
@@ -145,36 +162,77 @@ def adapt_piqa(doc: dict, tokenize: Tokenize) -> MCExample:
     return _mc(tokenize, ctx, [" " + doc["sol1"], " " + doc["sol2"]], int(doc["label"]))
 
 
+def _hellaswag_preprocess(text: str) -> str:
+    """lm-eval's hellaswag text cleanup (detokenizer artifacts in the
+    source data): strip, '[title]' -> '. ', drop other bracketed tags,
+    collapse double spaces."""
+    text = text.strip()
+    text = text.replace(" [title]", ". ")
+    text = re.sub(r"\[.*?\]", "", text)
+    text = text.replace("  ", " ")
+    return text
+
+
 def adapt_hellaswag(doc: dict, tokenize: Tokenize) -> MCExample:
-    ctx = doc["ctx"]
-    return _mc(tokenize, ctx, [" " + e for e in doc["endings"]], int(doc["label"]))
+    # lm-eval convention: context = "<activity_label>: <ctx_a> <Ctx_b...>"
+    # (ctx_b capitalized), both context and endings run through the
+    # preprocessor. Falls back to raw ``ctx`` when the split fields are
+    # absent from the doc.
+    if "ctx_a" in doc or "activity_label" in doc:
+        ctx_b = doc.get("ctx_b", "")
+        ctx = doc.get("ctx_a", doc.get("ctx", ""))
+        if ctx_b:
+            ctx = ctx + " " + ctx_b.capitalize()
+        label = doc.get("activity_label", "")
+        if label:
+            ctx = label + ": " + ctx
+    else:
+        ctx = doc["ctx"]
+    ctx = _hellaswag_preprocess(ctx)
+    endings = [_hellaswag_preprocess(e) for e in doc["endings"]]
+    return _mc(tokenize, ctx, [" " + e for e in endings], int(doc["label"]))
+
+
+_ARC_NUM_TO_LETTER = {"1": "A", "2": "B", "3": "C", "4": "D", "5": "E"}
 
 
 def adapt_arc(doc: dict, tokenize: Tokenize) -> MCExample:
     ctx = f"Question: {doc['question']}\nAnswer:"
-    labels = doc["choices"]["label"]
+    # lm-eval normalizes numeric answer keys ("1".."5") to letters
+    key = _ARC_NUM_TO_LETTER.get(str(doc["answerKey"]), doc["answerKey"])
+    labels = [_ARC_NUM_TO_LETTER.get(str(l), l) for l in doc["choices"]["label"]]
     texts = doc["choices"]["text"]
-    gold = labels.index(doc["answerKey"])
+    gold = labels.index(key)
     return _mc(tokenize, ctx, [" " + t for t in texts], gold)
 
 
 def adapt_winogrande(doc: dict, tokenize: Tokenize) -> MCExample:
-    # winogrande scores the sentence with each option substituted; the
-    # "continuation" is everything after the blank.
+    # lm-eval "partial evaluation" (the convention behind the published
+    # table): context = sentence up to the blank with the option
+    # substituted, continuation = everything after the blank. The option
+    # lives in the CONTEXT, so the scored suffix tokens are identical
+    # across choices and only the conditioning differs.
     idx = doc["sentence"].index("_")
     prefix = doc["sentence"][:idx]
     suffix = doc["sentence"][idx + 1 :]
-    choices = [doc["option1"], doc["option2"]]
+    options = [doc["option1"], doc["option2"]]
     gold = int(doc["answer"]) - 1
-    exs = []
-    for opt in choices:
-        exs.append(tokenize(prefix + opt + suffix))
-    ctx0 = []
-    return MCExample(ctx0, exs, gold)
+    rows, ctx_lens = [], []
+    for opt in options:
+        ctx_ids = list(tokenize(prefix + opt))
+        full = list(tokenize(prefix + opt + suffix))
+        if full[: len(ctx_ids)] != ctx_ids:
+            # tokenizer merged at the boundary; fall back to scoring the
+            # suffix tokenized alone
+            full = ctx_ids + list(tokenize(suffix))
+        rows.append(full)
+        ctx_lens.append(len(ctx_ids))
+    return MCExample([], rows, gold, ctx_lens=ctx_lens)
 
 
 def adapt_siqa(doc: dict, tokenize: Tokenize) -> MCExample:
-    ctx = f"{doc['context']}\nQuestion: {doc['question']}\nAnswer:"
+    # lm-eval social_iqa: "Question: <context> <question>\nAnswer:"
+    ctx = f"Question: {doc['context']} {doc['question']}\nAnswer:"
     choices = [" " + doc["answerA"], " " + doc["answerB"], " " + doc["answerC"]]
     return _mc(tokenize, ctx, choices, int(doc["label"]) - 1)
 

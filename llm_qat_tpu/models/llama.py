@@ -412,6 +412,23 @@ def causal_lm_loss(
     )
 
 
+def causal_lm_loss_sum(
+    logits: jax.Array, labels: jax.Array, ignore_index: int = -100
+) -> Tuple[jax.Array, jax.Array]:
+    """Unreduced variant of :func:`causal_lm_loss`: returns
+    ``(nll_sum, valid_token_count)`` so callers can aggregate a
+    token-weighted mean across batches on the host."""
+    logits = logits[:, :-1, :]
+    labels = labels[:, 1:]
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(
+        logits.astype(jnp.promote_types(logits.dtype, jnp.float32)), axis=-1
+    )
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(jnp.where(valid, nll, 0.0)), jnp.sum(valid).astype(jnp.float32)
+
+
 # ---------------------------------------------------------------------------
 # KV-cache decode path (generation)
 # ---------------------------------------------------------------------------

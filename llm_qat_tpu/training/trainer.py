@@ -26,6 +26,7 @@ Eval is the HF default path (label CE -> perplexity), train.py:131-143.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -307,7 +308,7 @@ def make_eval_step(model_cfg: LlamaConfig, compute_dtype=jnp.bfloat16) -> Callab
             attention_mask=batch.get("attention_mask"),
             dtype=compute_dtype,
         )
-        return llama.causal_lm_loss(logits, batch["labels"])
+        return llama.causal_lm_loss_sum(logits, batch["labels"])
 
     return step
 
@@ -406,10 +407,17 @@ class Trainer:
         return metrics
 
     def evaluate(self, batches) -> Dict[str, float]:
-        losses = []
+        # Token-weighted aggregation as host floats: per-batch (nll_sum,
+        # valid_count) scalars are pulled to the host immediately rather than
+        # stacked as mesh-committed device scalars (the round-1 SIGABRT site),
+        # and short final batches no longer skew the mean.
+        total_nll = 0.0
+        total_tokens = 0.0
         for batch in batches:
             if self.mesh is not None:
                 batch = shard_batch(batch, self.mesh)
-            losses.append(self._eval(self.state.params, batch))
-        mean = float(jnp.mean(jnp.stack(losses)))
-        return {"eval_loss": mean, "perplexity": float(jnp.exp(mean))}
+            nll_sum, count = self._eval(self.state.params, batch)
+            total_nll += float(nll_sum)
+            total_tokens += float(count)
+        mean = total_nll / max(total_tokens, 1.0)
+        return {"eval_loss": mean, "perplexity": float(math.exp(mean))}

@@ -105,6 +105,7 @@ def test_task_adapters_shapes():
         {"sentence": "the _ ran", "option1": "dog", "option2": "cat",
          "answer": "2"}, tok)
     assert ex.gold == 1 and len(ex.choices[0]) == len(tok("the dog ran"))
+    assert ex.ctx_lens == [len(tok("the dog")), len(tok("the cat"))]
     ex = Z.adapt_siqa(
         {"context": "c", "question": "q", "answerA": "1", "answerB": "2",
          "answerC": "3", "label": "2"}, tok)
@@ -116,6 +117,103 @@ def test_task_adapters_shapes():
     ex = Z.adapt_hellaswag({"ctx": "c", "endings": ["1", "2", "3", "4"],
                             "label": "3"}, tok)
     assert ex.gold == 3
+
+
+def test_adapter_token_splits_lm_eval_convention():
+    """VERDICT round-1 item 4: assert the exact context/continuation token
+    split for all 8 task adapters against lm-eval scoring conventions, with
+    a character-level tokenizer so splits are byte-exact."""
+    tok = fake_tokenize
+
+    def split(ex):
+        """-> list of (context_ids, continuation_ids) per choice."""
+        out = []
+        for ci, ch in enumerate(ex.choices):
+            if ex.ctx_lens is not None:
+                out.append((list(ch[: ex.ctx_lens[ci]]), list(ch[ex.ctx_lens[ci]:])))
+            else:
+                out.append((list(ex.context), list(ch)))
+        return out
+
+    # boolq: ctx = "<passage>\nQuestion: <q>?\nAnswer:", conts " no"/" yes"
+    ex = Z.adapt_boolq({"passage": "P.", "question": "is it", "answer": False}, tok)
+    want_ctx = tok("P.\nQuestion: is it?\nAnswer:")
+    assert split(ex) == [(want_ctx, tok(" no")), (want_ctx, tok(" yes"))]
+    assert ex.gold == 0
+
+    # piqa: ctx = "Question: <goal>\nAnswer:", conts " <sol>"
+    ex = Z.adapt_piqa({"goal": "open jar", "sol1": "twist", "sol2": "smash",
+                       "label": 1}, tok)
+    want_ctx = tok("Question: open jar\nAnswer:")
+    assert split(ex) == [(want_ctx, tok(" twist")), (want_ctx, tok(" smash"))]
+
+    # siqa: ctx = "Question: <context> <question>\nAnswer:" (lm-eval social_iqa)
+    ex = Z.adapt_siqa({"context": "C.", "question": "why", "answerA": "a",
+                       "answerB": "b", "answerC": "c", "label": "3"}, tok)
+    want_ctx = tok("Question: C. why\nAnswer:")
+    assert split(ex)[2] == (want_ctx, tok(" c")) and ex.gold == 2
+
+    # hellaswag: ctx = "<activity>: <ctx_a> <Ctx_b>", preprocessed endings
+    ex = Z.adapt_hellaswag(
+        {"activity_label": "Cooking", "ctx_a": "He stirs.", "ctx_b": "then",
+         "endings": ["eats [step] fast", "x [title] y", "a  b", "z"],
+         "label": "0"}, tok)
+    want_ctx = tok("Cooking: He stirs. Then")
+    got = split(ex)
+    assert got[0] == (want_ctx, tok(" eats fast"))      # [step] dropped, "  "->" "
+    assert got[1] == (want_ctx, tok(" x. y"))           # " [title]" -> ". "
+    assert got[2] == (want_ctx, tok(" a b"))
+
+    # hellaswag fallback on raw ctx docs
+    ex = Z.adapt_hellaswag({"ctx": "raw", "endings": ["e"], "label": 0}, tok)
+    assert split(ex)[0] == (tok("raw"), tok(" e"))
+
+    # winogrande: PARTIAL EVALUATION — ctx = prefix+option, cont = suffix
+    ex = Z.adapt_winogrande(
+        {"sentence": "the _ ran home", "option1": "dog", "option2": "cat",
+         "answer": "1"}, tok)
+    assert split(ex) == [
+        (tok("the dog"), tok(" ran home")),
+        (tok("the cat"), tok(" ran home")),
+    ]
+    assert ex.gold == 0
+
+    # arc: numeric answer keys normalize to letters
+    ex = Z.adapt_arc(
+        {"question": "q", "choices": {"label": ["1", "2", "3"],
+         "text": ["x", "y", "z"]}, "answerKey": "3"}, tok)
+    want_ctx = tok("Question: q\nAnswer:")
+    assert ex.gold == 2 and split(ex)[2] == (want_ctx, tok(" z"))
+
+    # obqa: ctx = question_stem, conts " <choice>"
+    ex = Z.adapt_obqa(
+        {"question_stem": "The sun is", "choices": {"label": ["A", "B"],
+         "text": ["hot", "cold"]}, "answerKey": "A"}, tok)
+    assert split(ex) == [(tok("The sun is"), tok(" hot")),
+                         (tok("The sun is"), tok(" cold"))]
+
+
+def test_score_examples_per_choice_context():
+    """ctx_lens layout: identical suffixes under different contexts score
+    the conditioning, and bookkeeping matches the shared-context layout."""
+    cfg = TINY_TEST
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    ctx_a, ctx_b, suffix = [1, 2, 3], [4, 5], [6, 7]
+    ex_pc = Z.MCExample([], [ctx_a + suffix, ctx_b + suffix], gold=0,
+                        ctx_lens=[len(ctx_a), len(ctx_b)])
+    # equivalent shared-context scoring of each row done by hand
+    ex_a = Z.MCExample(ctx_a, [suffix], gold=0)
+    ex_b = Z.MCExample(ctx_b, [suffix], gold=0)
+    r_pc = Z.score_examples(params, cfg, [ex_pc], compute_dtype=jnp.float32)
+    # winner under per-choice layout == argmax of the two manual scores
+    la = Z.score_examples(params, cfg, [ex_a], compute_dtype=jnp.float32)
+    lb = Z.score_examples(params, cfg, [ex_b], compute_dtype=jnp.float32)
+    # scores themselves aren't returned; check via acc with gold set both ways
+    ex_pc2 = Z.MCExample([], [ctx_a + suffix, ctx_b + suffix], gold=1,
+                         ctx_lens=[len(ctx_a), len(ctx_b)])
+    r2 = Z.score_examples(params, cfg, [ex_pc2], compute_dtype=jnp.float32)
+    assert r_pc["acc"] + r2["acc"] == 1.0  # exactly one gold assignment wins
+    assert la["n"] == lb["n"] == 1
 
 
 def test_perplexity_uniform_model():
