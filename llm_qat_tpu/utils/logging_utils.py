@@ -36,29 +36,27 @@ def get_logger(name: str = "llm_qat_tpu", rank0_only: bool = True) -> logging.Lo
 
 
 class MetricsLogger:
-    """Per-step scalar metrics: JSONL file + optional TensorBoard.
+    """Per-step scalar metrics: JSONL file + TensorBoard (default on).
 
-    TensorBoard mirroring is opt-in via ``LLM_QAT_TENSORBOARD=1``:
-    tensorboardX's event writer forks a subprocess, which can abort a
-    process with live XLA threads (observed as nondeterministic
-    "Fatal Python error: Aborted" during later jax dispatches)."""
+    TensorBoard parity with the reference recipe (``--report_to
+    tensorboard`` by default, run_train.sh:34) via the in-repo synchronous
+    event writer (utils/tb_writer.py) — no tensorboardX dependency and no
+    forked writer process (the round-1 abort hazard). Disable with
+    ``LLM_QAT_TENSORBOARD=0``."""
 
     def __init__(self, log_dir: Optional[str] = None, use_tensorboard: Optional[bool] = None):
         self.log_dir = log_dir
         self._jsonl = None
         self._tb = None
         if use_tensorboard is None:
-            use_tensorboard = os.environ.get("LLM_QAT_TENSORBOARD") == "1"
+            use_tensorboard = os.environ.get("LLM_QAT_TENSORBOARD", "1") != "0"
         if log_dir and jax.process_index() == 0:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
             if use_tensorboard:
-                try:
-                    from tensorboardX import SummaryWriter
+                from llm_qat_tpu.utils.tb_writer import ScalarEventWriter
 
-                    self._tb = SummaryWriter(log_dir)
-                except ImportError:
-                    pass
+                self._tb = ScalarEventWriter(log_dir)
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         if self._jsonl is not None:
@@ -67,8 +65,7 @@ class MetricsLogger:
             self._jsonl.write(json.dumps(rec) + "\n")
             self._jsonl.flush()
         if self._tb is not None:
-            for k, v in metrics.items():
-                self._tb.add_scalar(k, float(v), step)
+            self._tb.add_scalars(step, {k: float(v) for k, v in metrics.items()})
 
     def close(self):
         if self._jsonl:
