@@ -44,6 +44,18 @@ def init_serving_cache(
     decode kernel's score contraction is the canonical MXU matmul
     (ops/pallas/decode_attention.py layout notes); V is ``[L, b, kvh, S,
     hd]``."""
+    # the decode kernel tiles the length axis in multiples of 8 lanes
+    # (ops/pallas/decode_attention._pick_bk); an unaligned cache would read
+    # uninitialized tail rows and NaN the softmax — fail loudly instead
+    # (prefill-only temp caches use _empty_cache and may be unaligned)
+    if max_len % 8:
+        raise ValueError(f"serving cache max_len must be a multiple of 8, got {max_len}")
+    return _empty_cache(config, batch, max_len)
+
+
+def _empty_cache(
+    config: LlamaConfig, batch: int, max_len: int
+) -> Dict[str, jax.Array]:
     c = config
     kshape = (c.num_hidden_layers, batch, c.kv_heads, c.head_dim, max_len)
     vshape = (c.num_hidden_layers, batch, c.kv_heads, max_len, c.head_dim)
@@ -319,7 +331,7 @@ def prefill_slot(
     compute. This computes exactly one slot and the caller splices the
     returned rows into the persistent cache with `insert_slot`."""
     b, s = input_ids.shape
-    cache = init_serving_cache(config, b, s)
+    cache = _empty_cache(config, b, s)  # prefill-only: no alignment need
     return _forward(
         qparams, config, input_ids,
         jnp.zeros((b,), jnp.int32), jnp.ones((b,), bool), cache, dtype,

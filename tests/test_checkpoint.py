@@ -9,11 +9,13 @@ from llm_qat_tpu.models.config import TINY_TEST
 from llm_qat_tpu.models import convert
 from llm_qat_tpu.training import trainer as T
 from llm_qat_tpu.utils.checkpoint import CheckpointManager
+import pytest
 
 
 CFG = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=8)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path):
     tcfg = T.TrainConfig(remat=False, compute_dtype=jnp.float32)
     params = llama.init_params(CFG, jax.random.PRNGKey(0))

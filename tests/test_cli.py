@@ -13,6 +13,7 @@ from llm_qat_tpu.models import convert, llama
 from llm_qat_tpu.models.config import TINY_TEST
 from llm_qat_tpu.utils import args as A
 from llm_qat_tpu.cli import train as cli_train
+import pytest
 
 
 def fake_tokenize(text):
@@ -32,6 +33,7 @@ def test_process_args_defaults_and_overrides():
     assert t.learning_rate == 1e-4
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     # 1. a tiny fp "teacher" checkpoint in HF format on disk
     ckpt = str(tmp_path / "teacher")

@@ -11,6 +11,7 @@ from llm_qat_tpu.cli import train as cli_train
 from llm_qat_tpu.models import convert, llama
 from llm_qat_tpu.models.config import TINY_TEST
 from llm_qat_tpu.utils import args as A
+import pytest
 
 
 def _ckpt(tmp_path):
@@ -49,6 +50,7 @@ def test_eval_cli_zero_shot_and_ppl(tmp_path):
     assert saved["average_acc_norm"] == res["average_acc_norm"]
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path):
     """Interrupted run + --resume_from_checkpoint continues from the saved
     step and finishes the remaining steps."""

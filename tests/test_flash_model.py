@@ -7,6 +7,7 @@ import jax.numpy as jnp
 
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
+import pytest
 
 
 def test_model_flash_matches_naive():
@@ -19,6 +20,7 @@ def test_model_flash_matches_naive():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_model_flash_grad_matches():
     cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
     cfg_f = cfg.replace(use_flash_attention=True)

@@ -107,6 +107,7 @@ def _greedy_reference(prompt, n):
     return out
 
 
+@pytest.mark.slow
 def test_engine_greedy_matches_training_model():
     eng = E.InferenceEngine(
         QPARAMS, CFG, max_batch=2, max_len=64, dtype=jnp.float32
@@ -121,6 +122,7 @@ def test_engine_greedy_matches_training_model():
     assert done[0].output[:3] == want[:3], (done[0].output, want)
 
 
+@pytest.mark.slow
 def test_engine_continuous_batching_invariance():
     """Outputs must not depend on co-scheduling: 3 requests through a
     2-slot engine (forcing queueing + mixed-length decode) == each run
@@ -141,6 +143,7 @@ def test_engine_continuous_batching_invariance():
     assert got == want
 
 
+@pytest.mark.slow
 def test_engine_eos_stops():
     eng = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=64, dtype=jnp.float32)
     # discover the first greedy token, then use it as "eos"
@@ -218,6 +221,7 @@ def test_flash_prefill_matches_xla_prefill(rope_mode):
         assert diff.max() <= 1
 
 
+@pytest.mark.slow
 def test_engine_flash_prefill_token_parity():
     """Engine output must be identical with the flash prefill on vs off
     (greedy decoding; both prefill paths quantize the same ints)."""

@@ -20,6 +20,7 @@ def x64():
         yield
 
 
+@pytest.mark.slow
 def test_cp_forward_matches_standard():
     cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float64)
@@ -41,6 +42,7 @@ def test_cp_forward_gqa_and_remat():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cp_grads_match():
     cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float64)

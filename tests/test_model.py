@@ -57,6 +57,7 @@ def test_quantization_changes_output():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_remat_matches_no_remat():
     cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
     params = make_params(cfg)
@@ -92,6 +93,7 @@ def test_padding_mask():
     )
 
 
+@pytest.mark.slow
 def test_cached_decode_matches_full_forward():
     """Prefill + token-by-token decode must reproduce the full-sequence
     forward (reference generation path, modeling_llama_quant.py:909-954)."""
@@ -227,6 +229,7 @@ class TestTorchModelParity:
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sequence_classification():
     """Classifier head parity behaviors: pooling at last non-pad token,
     CE/MSE dispatch (reference modeling_llama_quant.py:970-1050)."""

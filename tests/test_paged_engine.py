@@ -11,6 +11,7 @@ from llm_qat_tpu.inference import paged_engine as PE
 from llm_qat_tpu.inference import quantized as Q
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
+import pytest
 
 CFG = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
 PARAMS = llama.init_params(CFG, jax.random.PRNGKey(0))
@@ -24,6 +25,7 @@ def _paged(n_pages=32, max_batch=2, **kw):
     )
 
 
+@pytest.mark.slow
 def test_paged_engine_matches_contiguous_engine():
     prompts = [[5, 9, 3], [7, 7], [1, 2, 3, 4]]
 
@@ -47,6 +49,7 @@ def test_pages_released_after_completion():
     assert pe.alloc.available == total  # everything returned to the pool
 
 
+@pytest.mark.slow
 def test_preemption_under_pressure():
     """A tiny pool forces preemption; outputs must still match the
     unconstrained engine (greedy => deterministic regardless of scheduling,
@@ -75,6 +78,7 @@ def test_pool_too_small_raises():
     assert raised
 
 
+@pytest.mark.slow
 def test_sequence_exceeding_block_table_completes_trimmed():
     """prompt + max_new beyond the per-seq table capacity: the prompt is
     trimmed (reference behavior for over-long inputs) and the request still

@@ -46,6 +46,7 @@ def test_mesh_shapes():
         pmesh.make_mesh(data=3, fsdp=3, tp=1)
 
 
+@pytest.mark.slow
 def test_fsdp_sharded_forward_matches_single_device():
     params, ids = _data()
     want = np.asarray(jax.jit(lambda p, i: llama.forward(p, CFG, i))(params, ids))
@@ -81,6 +82,7 @@ def test_params_actually_sharded():
     assert shard_shape[1] == q.shape[1] // 8
 
 
+@pytest.mark.slow
 def test_grad_under_fsdp_tp_matches():
     params, ids = _data()
 

@@ -8,6 +8,7 @@ from jax.sharding import Mesh
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import LlamaConfig
 from llm_qat_tpu.parallel import pipeline as PP
+import pytest
 
 CFG = LlamaConfig(
     vocab_size=97,
@@ -35,6 +36,7 @@ def _setup(key=0, b=4, s=16):
     return params, ids
 
 
+@pytest.mark.slow
 def test_pipeline_forward_matches_single_device():
     params, ids = _setup()
     want = llama.forward(params, CFG, ids)
@@ -51,6 +53,7 @@ def test_pipeline_forward_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_pipeline_grads_match_single_device():
     params, ids = _setup(key=7)
     batch = {"input_ids": ids, "labels": ids}

@@ -16,6 +16,7 @@ import numpy as np
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
 from llm_qat_tpu.inference import model as M, paged as PG, quantized as Q
+import pytest
 
 CFG = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
 PARAMS = llama.init_params(CFG, jax.random.PRNGKey(0))
@@ -61,6 +62,7 @@ def test_post_mode_kernel_matches_xla_path():
     np.testing.assert_array_equal(np.asarray(ck["k_q"]), np.asarray(cx["k_q"]))
 
 
+@pytest.mark.slow
 def test_post_mode_paged_matches_contiguous():
     cfg = CFG.replace(kv_cache_rope="post")
     pcfg = PG.PagedConfig(page_size=8, n_pages=16, max_pages_per_seq=4)
@@ -92,6 +94,7 @@ def test_post_mode_paged_matches_contiguous():
     np.testing.assert_allclose(lg_cd, lg_pd, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_kv16_serving_clamps_to_int8_storage():
     """kv_bits=16 serving must quantize at 8 bits (the cache is int8) —
     previously it wrapped around int8 and corrupted the cache."""

@@ -8,6 +8,7 @@ from llm_qat_tpu.ops.linear import quant_dense
 from llm_qat_tpu.ops.pallas.qat_matmul import fused_quant_matmul, supported
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
+import pytest
 
 
 def test_supported_gate():
@@ -45,6 +46,7 @@ def test_grads_match_quant_dense():
     assert (np.asarray(gw1)[np.abs(np.asarray(w)) >= 2] == 0).all()
 
 
+@pytest.mark.slow
 def test_model_with_fused_matmul_matches():
     cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4)
     cfg_f = cfg.replace(fused_qat_matmul=True)

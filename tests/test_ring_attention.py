@@ -9,6 +9,7 @@ from llm_qat_tpu.models.llama import _attend, causal_mask
 from llm_qat_tpu.parallel import mesh as pmesh
 from llm_qat_tpu.parallel.ring_attention import ring_attention
 from jax.sharding import Mesh
+import pytest
 
 
 def _cp_mesh(n=8):
@@ -22,6 +23,7 @@ def _naive(q, k, v):
     return out.reshape(q.shape)
 
 
+@pytest.mark.slow
 def test_ring_matches_naive_unquantized():
     rng = np.random.default_rng(0)
     b, s, h, d = 2, 64, 2, 16
@@ -33,6 +35,7 @@ def test_ring_matches_naive_unquantized():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_quantized_matches_fake_quant_kv():
     """int8 ring exchange == attention over per-token fake-quantized K/V."""
     from llm_qat_tpu.ops.quantize import kv_fake_quant
@@ -49,6 +52,7 @@ def test_ring_quantized_matches_fake_quant_kv():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_ring_causality():
     rng = np.random.default_rng(2)
     b, s, h, d = 1, 32, 2, 8
@@ -66,6 +70,7 @@ def test_ring_causality():
     )
 
 
+@pytest.mark.slow
 def test_ring_grad_flows():
     rng = np.random.default_rng(3)
     b, s, h, d = 1, 32, 2, 8

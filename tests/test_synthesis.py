@@ -10,6 +10,7 @@ import jax.numpy as jnp
 from llm_qat_tpu.data import synthesis as S
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
+import pytest
 
 
 CFG = TINY_TEST
@@ -68,6 +69,7 @@ def test_eos_truncation():
     np.testing.assert_array_equal(S._truncate_at_eos(row, None), row)
 
 
+@pytest.mark.slow
 def test_synthesize_shard_and_resume(tmp_path):
     out = str(tmp_path / "gen")
     kw = dict(

@@ -35,6 +35,7 @@ def test_tp1_layout_matches_single_device(w_bits):
 @pytest.mark.parametrize(
     "w_bits,kv_bits,tp", [(8, 8, 2), (4, 4, 2), (8, 4, 4), (32, 8, 2)]
 )
+@pytest.mark.slow
 def test_tp_forward_matches_single_device(w_bits, kv_bits, tp):
     # kvh must divide by tp: use 4 kv heads
     cfg = TINY_TEST.replace(
@@ -123,6 +124,7 @@ def test_rowparallel_chunked_quant_linear_matches(w_bits):
 
 
 @pytest.mark.parametrize("w_bits,kv_bits,tp", [(8, 8, 2), (4, 4, 4)])
+@pytest.mark.slow
 def test_tp_paged_forward_matches_single_device(w_bits, kv_bits, tp):
     """Paged pool sharded over kv heads: logits and layer-0 pool integers
     match the single-device paged path (same contract as the contiguous
@@ -170,6 +172,7 @@ def test_tp_paged_forward_matches_single_device(w_bits, kv_bits, tp):
     np.testing.assert_allclose(lg1d, lg2d, atol=5e-4, rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_tp_paged_engine_token_parity():
     """Paged continuous batching (lazy pages, preemption machinery) emits
     identical greedy tokens with and without tensor parallelism."""
@@ -197,6 +200,7 @@ def test_tp_paged_engine_token_parity():
     assert out1 == out2
 
 
+@pytest.mark.slow
 def test_tp_engine_token_parity():
     """Greedy continuous batching produces identical tokens with and without
     tensor parallelism (admissions, ragged slots, retirement included)."""

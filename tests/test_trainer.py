@@ -77,6 +77,7 @@ def test_eval_perplexity():
     assert 0 < m["eval_loss"] < 2 * np.log(CFG.vocab_size)
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_unsharded():
     """One KD step under the 8-device mesh == single-device step (x64)."""
     with jax.enable_x64(True):
@@ -114,6 +115,7 @@ def test_sharded_train_step_matches_unsharded():
         jax.tree.map(close_enough, tr1.state.params, tr2.state.params)
 
 
+@pytest.mark.slow
 def test_grad_accum_scaling():
     """loss reported under grad accum is scaled by 1/accum_steps
     (kd_trainer.py:112-114)."""
@@ -128,6 +130,7 @@ def test_grad_accum_scaling():
     assert l2 == pytest.approx(l1 / 4, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_chunked_kd_kl_matches_logits_path():
     """The head-fused chunked KL (no full-logits materialization) must equal
     kd_kl_loss on materialized logits, in value and in gradients."""
