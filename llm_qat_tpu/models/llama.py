@@ -158,6 +158,7 @@ def decoder_layer(
     cache_kv: Optional[Tuple[jax.Array, jax.Array]] = None,
     cache_index: Optional[jax.Array] = None,
     use_flash: bool = False,
+    flash_lengths: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, Optional[Tuple[jax.Array, jax.Array]]]:
     """One decoder block (modeling_llama_quant.py:396-469).
 
@@ -203,7 +204,7 @@ def decoder_layer(
     if use_flash and cache_kv is None:
         from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
 
-        attn = flash_attention(q, k, v)
+        attn = flash_attention(q, k, v, lengths=flash_lengths)
     else:
         attn = _attend(q, k, v, mask)
     attn = quant_dense(attn, lp["o"], **qd)
@@ -292,11 +293,17 @@ def backbone(
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32), (b, s))
     cos, sin = rope_cos_sin(positions, c.head_dim, c.rope_theta)
-    # flash path: pure-causal full-sequence attention with block-aligned s
+    # flash path: full-sequence attention with block-aligned s. A padding
+    # mask rides as per-sequence lengths (right-padded contract — the only
+    # mask shape the data/eval pipelines produce); columns >= length are
+    # masked inside the kernel, so padded-batch QAT stays on flash instead
+    # of falling back to the O(s²) einsum (VERDICT round-1 item 5)
     use_flash = (
-        c.use_flash_attention and attention_mask is None and s % min(128, s) == 0
-        and s >= 16
+        c.use_flash_attention and s % min(128, s) == 0 and s >= 16
     )
+    flash_lengths = None
+    if use_flash and attention_mask is not None:
+        flash_lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
     mask = (
         jnp.zeros((b, 1, 1, 1), jnp.float32)
         if use_flash
@@ -304,8 +311,14 @@ def backbone(
     )
 
     def body(h, lp):
-        out, _ = decoder_layer(h, lp, c, mask, cos, sin, use_flash=use_flash)
-        return out, None
+        out, _ = decoder_layer(
+            h, lp, c, mask, cos, sin, use_flash=use_flash,
+            flash_lengths=flash_lengths,
+        )
+        # keep the carry at the activation dtype: f32 master params under a
+        # bf16 compute dtype would otherwise promote the residual stream and
+        # break the scan carry contract
+        return out.astype(h.dtype), None
 
     if remat:
         # "save_attn" saves the flash kernel's output + log-sum-exp (named
@@ -484,7 +497,8 @@ def forward_with_cache(
             h, lp, c, mask, cos, sin,
             cache_kv=(k_cache, v_cache), cache_index=index,
         )
-        return out, new_kv
+        # keep the carry at the activation dtype (f32 params + bf16 compute)
+        return out.astype(h.dtype), new_kv
 
     h, (new_k, new_v) = jax.lax.scan(
         body, h, (params["layers"], cache["k"], cache["v"])

@@ -4,14 +4,30 @@ The reference materializes the full ``[b, h, q, kv]`` score matrix with an
 fp32 softmax (modeling_llama_quant.py:352-377) — O(s²) HBM traffic and
 memory, flagged in SURVEY.md §5 as the long-context blocker. This kernel
 computes attention blockwise with an online softmax: scores never leave
-VMEM, HBM traffic is O(s·d), and causal blocks beyond the query block are
-skipped entirely (the dynamic inner-loop bound cuts ~2x work).
+VMEM, HBM traffic is O(s·d), and causally-dead KV blocks are skipped.
 
 Forward and backward are both Pallas kernels under ``jax.custom_vjp``: the
 forward saves per-row log-sum-exp, and the backward runs the standard
-flash pair — a dQ kernel looping causal KV blocks and a dK/dV kernel
-looping query blocks — so no O(s²) tensor is materialized in either pass.
+flash pair — a dQ kernel sweeping causal KV blocks and a dK/dV kernel
+sweeping query blocks — so no O(s²) tensor is materialized in either pass.
 The naive einsum path is kept for numerics gating in tests.
+
+Streaming (round-2 rework of the round-1 full-S VMEM residency): every
+operand is blocked through the grid — K/V blocks on a ``kb`` grid dim in
+forward/dQ, Q/dO/LSE blocks on an ``iq`` grid dim in dK/dV — so per-program
+VMEM is O(block²), independent of S; s=16k forward+backward fits one chip.
+Causally-dead grid steps clamp their index map to the last live block
+(same block index ⇒ the pipeline skips the re-fetch) and skip compute with
+``pl.when``.
+
+Variable length (right-padded batches): an optional per-sequence
+``lengths`` operand rides scalar prefetch; columns ``>= length`` are masked
+in all three kernels and the K/V index maps additionally clamp to the last
+in-length block. Rows ``>= length`` produce finite garbage (they attend
+cols ``< max(length, 1)``) and carry exact-zero cotangents in training —
+identical in effect to the einsum path's fully-masked rows. This is what
+lets padded-batch QAT run through flash instead of falling back to the
+O(s²) path (VERDICT round-1 item 5).
 
 Layout: operands carry an explicit GQA group dim — q ``[B, G, S, D]`` with
 ``B = batch*kv_heads`` and k/v ``[B, S, D]`` — so each program streams the
@@ -39,77 +55,107 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int):
+    """Last KV block index that is causally live for query block ``iq`` and
+    within ``length`` (clamped to >=1 so empty rows still read block 0)."""
+    causal_last = ((iq + 1) * bq - 1) // bk
+    len_last = (jnp.maximum(length, 1) - 1) // bk
+    return jnp.minimum(causal_last, len_last)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, *, bq: int, bk: int, scale: float
+    lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, bq: int, bk: int, scale: float, nk: int,
 ):
-    iq = pl.program_id(2)
+    ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    length = lens_ref[ib]
+    live_last = _last_live_kv(iq, length, bq, bk)
     start_q = iq * bq
-    d = q_ref.shape[-1]
 
-    q = q_ref[0, 0]  # [bq, d]
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # causal: only kv blocks with start < start_q + bq contribute
-    n_blocks = (start_q + bq + bk - 1) // bk
-
-    row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-
-    def body(kb, carry):
-        m, l, acc = carry
+    @pl.when(kb <= live_last)
+    def _():
+        q = q_ref[0, 0]          # [bq, d]
+        k = k_ref[0]             # [bk, d]
+        v = v_ref[0]
         start_k = kb * bk
-        k = k_ref[0, pl.ds(start_k, bk), :]  # [bk, d]
-        v = v_ref[0, pl.ds(start_k, bk), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk] fp32
-
+        row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(col_ids <= row_ids, s, _NEG_INF)
+        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        s = jnp.where(ok, s, _NEG_INF)
 
+        m = m_scr[:]
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
+        m_scr[:] = m_new
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return m_new, l_new, acc_new
 
-    m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc0 = jnp.zeros((bq, d), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    # log-sum-exp per row, saved for the backward kernels ([1, 1, 1, bq] block)
-    lse_ref[0, 0, 0] = (m + jnp.log(l))[:, 0]
+    @pl.when(kb == nk - 1)
+    def _():
+        l = l_scr[:]
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0, 0, 0] = (m_scr[:] + jnp.log(l))[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk"))
-def _flash_fwd(q, k, v, bq: int, bk: int):
-    """q: [B, G, S, D]; k/v: [B, S, D] (causal within each S).
+def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
+    """q: [B, G, S, D]; k/v: [B, S, D]; lengths [B] (causal within each S).
     Returns ([B, G, S, D], lse [B, G, 1, S])."""
     B, G, S, D = q.shape
     scale = 1.0 / (D ** 0.5)
-    grid = (B, G, S // bq)
+    nq, nk = S // bq, S // bk
+    grid = (B, G, nq, nk)
+
+    def kv_idx(b, g, iq, kb, lens):
+        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
+
     return pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, bq=bq, bk=bk, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), lambda b, g, i: (b, g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda b, g, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda b, g, i: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, bq, D), lambda b, g, i: (b, g, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda b, g, i: (b, g, 0, i), memory_space=pltpu.VMEM),
+        functools.partial(
+            _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, nk=nk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, g, iq, kb, lens: (b, g, iq, 0)),
+                pl.BlockSpec((1, bk, D), kv_idx),
+                pl.BlockSpec((1, bk, D), kv_idx),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, bq, D), lambda b, g, iq, kb, lens: (b, g, iq, 0)),
+                pl.BlockSpec((1, 1, 1, bq), lambda b, g, iq, kb, lens: (b, g, 0, iq)),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, D), jnp.float32),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, G, S, D), q.dtype),
             jax.ShapeDtypeStruct((B, G, 1, S), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * G * S * S * D // 2,  # ~half the square is causal-live
@@ -117,91 +163,101 @@ def _flash_fwd(q, k, v, bq: int, bk: int):
             transcendentals=B * G * S * S // 2,
         ),
         interpret=_interpret(),
-    )(q, k, v)
+    )(lengths, q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# backward: dQ
+# ---------------------------------------------------------------------------
 
 
 def _flash_bwd_dq_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-    *, bq: int, bk: int, scale: float,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, bq: int, bk: int, scale: float, nk: int,
 ):
     """dQ_i = scale * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j, blockwise."""
-    iq = pl.program_id(2)
+    ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
+    length = lens_ref[ib]
+    live_last = _last_live_kv(iq, length, bq, bk)
     start_q = iq * bq
-    d = q_ref.shape[-1]
 
-    q = q_ref[0, 0]
-    do = do_ref[0, 0]
-    lse = lse_ref[0, 0, 0][:, None]       # [bq, 1]
-    delta = delta_ref[0, 0, 0][:, None]   # [bq, 1]
+    @pl.when(kb == 0)
+    def _():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    n_blocks = (start_q + bq + bk - 1) // bk
-    row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-
-    def body(kb, dq):
+    @pl.when(kb <= live_last)
+    def _():
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0][:, None]       # [bq, 1]
+        delta = delta_ref[0, 0, 0][:, None]   # [bq, 1]
+        k = k_ref[0]
+        v = v_ref[0]
         start_k = kb * bk
-        k = k_ref[0, pl.ds(start_k, bk), :]
-        v = v_ref[0, pl.ds(start_k, bk), :]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-
+        row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        s = jnp.where(col_ids <= row_ids, s, _NEG_INF)
+        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        s = jnp.where(ok, s, _NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = (p * (dp - delta)).astype(k.dtype)
-        return dq + jax.lax.dot_general(
+        dq_scr[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    dq = jax.lax.fori_loop(0, n_blocks, body, jnp.zeros((bq, d), jnp.float32))
-    dq_ref[0, 0] = (scale * dq).astype(dq_ref.dtype)
+    @pl.when(kb == nk - 1)
+    def _():
+        dq_ref[0, 0] = (scale * dq_scr[:]).astype(dq_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# backward: dK/dV
+# ---------------------------------------------------------------------------
 
 
 def _flash_bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc,
-    *, bq: int, bk: int, scale: float, s_total: int, groups: int,
+    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, bq: int, bk: int, scale: float, nq: int, groups: int,
 ):
-    """dK_j / dV_j accumulated over query blocks i >= j of every GQA group.
+    """dK_j / dV_j accumulated over causally-live query blocks of every GQA
+    group. Grid is (B, nk, G, nq) with iq innermost then g, so the fp32
+    VMEM accumulators persist across all (g, iq) sharing a KV block; the
+    write happens at the final (g, iq)."""
+    ib, kb = pl.program_id(0), pl.program_id(1)
+    grp, iq = pl.program_id(2), pl.program_id(3)
+    length = lens_ref[ib]
+    start_k = kb * bk
+    first_live = start_k // bq  # first query block with rows >= start_k
 
-    Grid is (B, S/bk, G) with G innermost, so the fp32 VMEM accumulators
-    persist across the G iterations that share an output block; the write
-    happens on the final group."""
-    jk = pl.program_id(1)
-    grp = pl.program_id(2)
-    start_k = jk * bk
-    d = k_ref.shape[-1]
-
-    @pl.when(grp == 0)
+    @pl.when((grp == 0) & (iq == 0))
     def _():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    k = k_ref[0, pl.ds(start_k, bk), :]
-    v = v_ref[0, pl.ds(start_k, bk), :]
-
-    first_q = (start_k // bq)
-    n_q_blocks = s_total // bq
-    col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-
-    def body(iq, carry):
-        dk, dv = carry
+    @pl.when(iq >= first_live)
+    def _():
+        k = k_ref[0]
+        v = v_ref[0]
+        q = q_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0][:, None]
+        delta = delta_ref[0, 0, 0][:, None]
         start_q = iq * bq
-        q = q_ref[0, 0, pl.ds(start_q, bq), :]
-        do = do_ref[0, 0, pl.ds(start_q, bq), :]
-        lse = lse_ref[0, 0, 0, pl.ds(start_q, bq)][:, None]
-        delta = delta_ref[0, 0, 0, pl.ds(start_q, bq)][:, None]
         s = scale * jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-
         row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
-        s = jnp.where(col_ids <= row_ids, s, _NEG_INF)
+        col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        s = jnp.where(ok, s, _NEG_INF)
         p = jnp.exp(s - lse)
-        dv_new = dv + jax.lax.dot_general(
+        dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -209,85 +265,99 @@ def _flash_bwd_dkv_kernel(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = (p * (dp - delta)).astype(q.dtype)
-        dk_new = dk + jax.lax.dot_general(
+        dk_scr[:] += jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return dk_new, dv_new
 
-    dk0 = jnp.zeros((bk, d), jnp.float32)
-    dv0 = jnp.zeros((bk, d), jnp.float32)
-    dk, dv = jax.lax.fori_loop(first_q, n_q_blocks, body, (dk0, dv0))
-    dk_acc[:] += scale * dk
-    dv_acc[:] += dv
-
-    @pl.when(grp == groups - 1)
+    @pl.when((grp == groups - 1) & (iq == nq - 1))
     def _():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        dk_ref[0] = (scale * dk_scr[:]).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk"))
-def _flash_bwd(q, k, v, o, lse, do, bq: int, bk: int):
+def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
     B, G, S, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    nq, nk = S // bq, S // bk
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
     )[:, :, None, :]  # [B, G, 1, S]
 
-    qblk = lambda b, g, i: (b, g, i, 0)
-    kvfull = lambda b, g, i: (b, 0, 0)
+    qblk = lambda b, g, iq, kb, lens: (b, g, iq, 0)
+    lseblk = lambda b, g, iq, kb, lens: (b, g, 0, iq)
+
+    def kv_idx(b, g, iq, kb, lens):
+        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
+
     dq = pl.pallas_call(
-        functools.partial(_flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale),
-        grid=(B, G, S // bq),
-        in_specs=[
-            pl.BlockSpec((1, 1, bq, D), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kvfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kvfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bq, D), qblk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda b, g, i: (b, g, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, bq), lambda b, g, i: (b, g, 0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 1, bq, D), qblk, memory_space=pltpu.VMEM),
+        functools.partial(
+            _flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale, nk=nk
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, G, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), qblk),
+                pl.BlockSpec((1, bk, D), kv_idx),
+                pl.BlockSpec((1, bk, D), kv_idx),
+                pl.BlockSpec((1, 1, bq, D), qblk),
+                pl.BlockSpec((1, 1, 1, bq), lseblk),
+                pl.BlockSpec((1, 1, 1, bq), lseblk),
+            ],
+            out_specs=pl.BlockSpec((1, 1, bq, D), qblk),
+            scratch_shapes=[pltpu.VMEM((bq, D), jnp.float32)],
+        ),
         out_shape=jax.ShapeDtypeStruct((B, G, S, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(lengths, q, k, v, do, lse, delta)
 
-    qfull = lambda b, j, g: (b, g, 0, 0)
-    kv_of_b = lambda b, j, g: (b, 0, 0)
+    # dead iq blocks (entirely above the diagonal for this KV block) clamp
+    # to the first live one: same index => the pipeline skips the re-fetch
+    def q_idx(b, kb, g, iq, lens):
+        return (b, g, jnp.maximum(iq, (kb * bk) // bq), 0)
+
+    def lse_idx(b, kb, g, iq, lens):
+        return (b, g, 0, jnp.maximum(iq, (kb * bk) // bq))
+
+    kv_of_b = lambda b, kb, g, iq, lens: (b, kb, 0)
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
-            bq=bq, bk=bk, scale=scale, s_total=S, groups=G,
+            bq=bq, bk=bk, scale=scale, nq=nq, groups=G,
         ),
-        grid=(B, S // bk, G),
-        in_specs=[
-            pl.BlockSpec((1, 1, S, D), qfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kv_of_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), kv_of_b, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S, D), qfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), qfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S), qfull, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, bk, D), lambda b, j, g: (b, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, D), lambda b, j, g: (b, j, 0), memory_space=pltpu.VMEM),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nk, G, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), q_idx),
+                pl.BlockSpec((1, bk, D), kv_of_b),
+                pl.BlockSpec((1, bk, D), kv_of_b),
+                pl.BlockSpec((1, 1, bq, D), q_idx),
+                pl.BlockSpec((1, 1, 1, bq), lse_idx),
+                pl.BlockSpec((1, 1, 1, bq), lse_idx),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bk, D), kv_of_b),
+                pl.BlockSpec((1, bk, D), kv_of_b),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bk, D), jnp.float32),
+                pltpu.VMEM((bk, D), jnp.float32),
+            ],
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, D), k.dtype),
             jax.ShapeDtypeStruct((B, S, D), v.dtype),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((bk, D), jnp.float32),
-            pltpu.VMEM((bk, D), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(lengths, q, k, v, do, lse, delta)
     return dq, dk, dv
 
 
@@ -306,28 +376,30 @@ def _naive_attention(q, k, v):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_gqa(q, k, v, bq: int = 512, bk: int = 512):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_gqa(q, k, v, lengths, bq: int = 512, bk: int = 512):
     """Causal flash attention: q ``[B, G, S, D]``, k/v ``[B, S, D]`` where
-    ``B = batch*kv_heads`` and ``G`` is the GQA group size. Backward is the
-    dedicated blockwise kernel pair (dq; dk/dv) driven by the saved
-    log-sum-exp — no O(S²) tensor is ever materialized in HBM."""
-    return _flash_fwd(q, k, v, bq, bk)[0]
+    ``B = batch*kv_heads`` and ``G`` is the GQA group size; ``lengths``
+    ``[B]`` int32 masks columns ``>= length`` (pass ``S`` for no padding).
+    Backward is the dedicated blockwise kernel pair (dq; dk/dv) driven by
+    the saved log-sum-exp — no O(S²) tensor is ever materialized in HBM."""
+    return _flash_fwd(q, k, v, lengths, bq, bk)[0]
 
 
-def _fa_fwd(q, k, v, bq, bk):
-    o, lse = _flash_fwd(q, k, v, bq, bk)
+def _fa_fwd(q, k, v, lengths, bq, bk):
+    o, lse = _flash_fwd(q, k, v, lengths, bq, bk)
     # named so a remat policy can save the kernel's residuals and skip the
     # flash forward recompute in the backward pass (models.llama.backbone's
     # remat_policy="save_attn")
     o = checkpoint_name(o, "attn_out")
     lse = checkpoint_name(lse, "attn_lse")
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, lengths, o, lse)
 
 
 def _fa_bwd(bq, bk, res, g):
-    q, k, v, o, lse = res
-    return _flash_bwd(q, k, v, o, lse, g, bq, bk)
+    q, k, v, lengths, o, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, lengths, o, lse, g, bq, bk)
+    return dq, dk, dv, None
 
 
 flash_attention_gqa.defvjp(_fa_fwd, _fa_bwd)
@@ -335,7 +407,9 @@ flash_attention_gqa.defvjp(_fa_fwd, _fa_bwd)
 
 def flash_attention_bhsd(q, k, v, bq: int = 512, bk: int = 512):
     """MHA compatibility wrapper over ``[BH, S, D]`` operands (G=1)."""
-    return flash_attention_gqa(q[:, None], k, v, bq, bk)[:, 0]
+    B, S, _ = q.shape
+    lengths = jnp.full((B,), S, jnp.int32)
+    return flash_attention_gqa(q[:, None], k, v, lengths, bq, bk)[:, 0]
 
 
 def flash_attention(
@@ -343,12 +417,18 @@ def flash_attention(
     k: jax.Array,  # [b, s, kvh, d]
     v: jax.Array,  # [b, s, kvh, d]
     *,
+    lengths: jax.Array = None,  # [b] int32 valid prefix per sequence
     bq: int = 512,
     bk: int = 512,
 ) -> jax.Array:
     """Model-layout wrapper: GQA via the kernel's group dim — K/V are
     never repeated (head h reads kv head ``h // groups``, matching
-    `models.llama._attend`); returns ``[b, s, nh*d]``."""
+    `models.llama._attend`); returns ``[b, s, nh*d]``.
+
+    ``lengths`` supports right-padded batches: keys/values at positions
+    ``>= lengths[b]`` are masked for every query. Outputs at padded query
+    rows are finite garbage (callers mask them downstream, as with the
+    einsum path)."""
     b, s, nh, d = q.shape
     kvh = k.shape[2]
     groups = nh // kvh
@@ -371,7 +451,11 @@ def flash_attention(
     bk_eff = fit(bk)
     if bq_eff < 1:
         raise ValueError(f"cannot block seq len {s}")
-    out = flash_attention_gqa(q4, fold(k), fold(v), bq_eff, bk_eff)
+    if lengths is None:
+        lens_B = jnp.full((b * kvh,), s, jnp.int32)
+    else:
+        lens_B = jnp.repeat(lengths.astype(jnp.int32), kvh)
+    out = flash_attention_gqa(q4, fold(k), fold(v), lens_B, bq_eff, bk_eff)
     # [b*kvh, g, s, d] -> [b, s, nh*d]
     return (
         out.reshape(b, kvh, groups, s, d)

@@ -70,3 +70,49 @@ def test_flash_causality():
         np.asarray(out1[:, :20]), np.asarray(out2[:, :20]), rtol=1e-6
     )
     assert not np.allclose(np.asarray(out1[:, 20:]), np.asarray(out2[:, 20:]))
+
+
+def test_flash_lengths_match_padded_mask():
+    """Right-padded batch through the lengths operand == einsum path with
+    the equivalent additive padding mask, at valid positions (fwd + grads)."""
+    rng = np.random.default_rng(4)
+    b, s, h, kvh, d = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, kvh, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, kvh, d)).astype(np.float32))
+    lengths = jnp.asarray([37, 64], jnp.int32)
+    attn_mask = (jnp.arange(s)[None, :] < lengths[:, None]).astype(jnp.int32)
+    # valid-position selector [b, s, 1]
+    valid = attn_mask[..., None].astype(jnp.float32)
+
+    def loss_flash(q, k, v):
+        out = FA.flash_attention(q, k, v, lengths=lengths, bq=32, bk=32)
+        return jnp.sum((out * valid) ** 2)
+
+    def loss_ref(q, k, v):
+        mask = causal_mask(b, s, attn_mask)
+        return jnp.sum((_attend(q, k, v, mask) * valid) ** 2)
+
+    got = FA.flash_attention(q, k, v, lengths=lengths, bq=32, bk=32)
+    want = _attend(q, k, v, causal_mask(b, s, attn_mask))
+    np.testing.assert_allclose(
+        np.asarray(got * valid), np.asarray(want * valid), rtol=2e-5, atol=2e-5
+    )
+    assert np.isfinite(np.asarray(got)).all()  # padded rows finite garbage
+
+    g1 = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5)
+
+
+def test_flash_length_zero_row_is_finite():
+    """A fully-padded sequence (length 0, e.g. an unused eval-bucket row)
+    must not NaN the kernel output."""
+    rng = np.random.default_rng(5)
+    b, s, h, d = 2, 32, 2, 16
+    q = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
+    out = FA.flash_attention(q, k, v, lengths=jnp.asarray([0, 32]), bq=16, bk=16)
+    assert np.isfinite(np.asarray(out)).all()
