@@ -119,12 +119,11 @@ def cp_forward(
         cos, sin = llama.rope_cos_sin(positions, c.head_dim, c.rope_theta)
 
         def body(h, lp):
-            return (
-                _cp_decoder_layer(
-                    h, lp, c, cos, sin, axis, n, ring_transport_bits
-                ),
-                None,
+            out = _cp_decoder_layer(
+                h, lp, c, cos, sin, axis, n, ring_transport_bits
             )
+            # keep the carry at the activation dtype (f32 params + bf16 compute)
+            return out.astype(h.dtype), None
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)

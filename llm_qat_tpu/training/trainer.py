@@ -240,13 +240,17 @@ def make_train_step(
             teacher_head = jax.lax.stop_gradient(
                 llama.head_matrix(teacher_params, teacher_cfg)
             )
-        else:
+        elif train_cfg.use_kd:
             teacher_ref = jax.lax.stop_gradient(
                 llama.forward(
                     teacher_params, teacher_cfg, ids,
                     attention_mask=mask, dtype=train_cfg.compute_dtype,
                 )
             )
+        else:
+            # vanilla label-CE training (train.py:63-70 path): no teacher —
+            # teacher_params may be None and must not be traced
+            teacher_ref = None
 
         def loss_fn(params):
             if chunked_kl:
@@ -384,6 +388,16 @@ class Trainer:
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.mesh = mesh
+        if teacher_params is not None:
+            # the student is routinely initialized FROM the teacher
+            # (train.py:55-62 loads the same checkpoint into the quant
+            # arch). The train step donates the student state, so any
+            # param leaf aliasing a teacher leaf would be invalidated by
+            # the first step — copy aliased leaves defensively.
+            tids = {id(l) for l in jax.tree.leaves(teacher_params)}
+            params = jax.tree.map(
+                lambda x: jnp.copy(x) if id(x) in tids else x, params
+            )
         if mesh is not None:
             params = pmesh.shard_params(params, mesh)
             if teacher_params is not None:

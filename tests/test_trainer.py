@@ -67,6 +67,21 @@ def test_train_loss_decreases():
     assert np.isfinite(losses).all()
 
 
+def test_vanilla_ce_train_no_teacher():
+    """use_kd=False with teacher_params=None (the reference's vanilla
+    training path, train.py:63-70) must train on label CE without tracing
+    a teacher forward."""
+    tcfg = T.TrainConfig(
+        learning_rate=5e-3, total_steps=30, remat=False, use_kd=False,
+        compute_dtype=jnp.float32,
+    )
+    tr = T.Trainer(CFG, tcfg, llama.init_params(CFG, jax.random.PRNGKey(1)))
+    batch = _batch()
+    losses = [float(tr.train_step(batch)["loss"]) for _ in range(10)]
+    assert losses[-1] < losses[0], losses
+    assert np.isfinite(losses).all()
+
+
 def test_eval_perplexity():
     tcfg = T.TrainConfig(compute_dtype=jnp.float32)
     params = llama.init_params(CFG, jax.random.PRNGKey(1))
