@@ -35,11 +35,16 @@ def main() -> None:
     ap.add_argument("--layers", type=int, default=0, help="override layer count")
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--no_kernel", action="store_true", help="XLA decode path")
+    ap.add_argument(
+        "--unrolled", action="store_true",
+        help="static-layer-indexed unrolled decode (inference/unrolled.py)",
+    )
     args = ap.parse_args()
 
     cfg = TINYLLAMA_1B.replace(
         w_bits=args.w, a_bits=8, kv_bits=args.kv,
         use_decode_kernel=not args.no_kernel,
+        use_unrolled_decode=args.unrolled,
     )
     if args.layers:
         cfg = cfg.replace(num_hidden_layers=args.layers)

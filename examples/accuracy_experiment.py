@@ -171,9 +171,21 @@ def kd_train(student, s_cfg, teacher, t_cfg, tcfg, ds, batch, steps,
     return tr.state.params
 
 
+def _two_choice(ctx, gold, distract, rng):
+    ctx_ids = TOK.encode(ctx)
+    choices = [
+        TOK.encode(ctx + gold)[len(ctx_ids):],
+        TOK.encode(ctx + distract)[len(ctx_ids):],
+    ]
+    order = int(rng.integers(0, 2))
+    if order:
+        choices = choices[::-1]
+    return Z.MCExample(ctx_ids, choices, gold=order ^ 0)
+
+
 def make_mc_examples(holdout_texts, n, ctx_len=64, cont_len=32, seed=0):
-    """Two-choice continuation task: gold = the doc's real next bytes,
-    distractor = a span from a different held-out doc."""
+    """Far two-choice continuation task: gold = the doc's real next bytes,
+    distractor = a span from a *different* held-out doc."""
     rng = np.random.default_rng(seed)
     exs = []
     docs = [t for t in holdout_texts if len(t) > ctx_len + cont_len + 1]
@@ -188,33 +200,89 @@ def make_mc_examples(holdout_texts, n, ctx_len=64, cont_len=32, seed=0):
         other = docs[dj]
         ds_ = int(rng.integers(0, len(other) - cont_len))
         distract = other[ds_ : ds_ + cont_len]
-        ctx_ids = TOK.encode(ctx)
-        choices = [
-            TOK.encode(ctx + gold)[len(ctx_ids):],
-            TOK.encode(ctx + distract)[len(ctx_ids):],
-        ]
-        order = int(rng.integers(0, 2))
-        if order:
-            choices = choices[::-1]
-        exs.append(Z.MCExample(ctx_ids, choices, gold=order ^ 0))
+        exs.append(_two_choice(ctx, gold, distract, rng))
     return exs
 
 
-def evaluate_model(params, cfg, hold_blocks, mc_examples, batch, dtype):
+def make_word_swap_candidates(holdout_texts, n, ctx_len=64, cont_len=32,
+                              seed=0):
+    """Candidate pool for the quantization-sensitive task: distractor = the
+    gold continuation with ONE interior word replaced by a same-length real
+    word from the held-out corpus. Same length keeps raw loglikelihoods
+    comparable; a single plausible word keeps the gold/distractor margin
+    small enough that logit noise can flip it."""
+    rng = np.random.default_rng(seed)
+    docs = [t for t in holdout_texts if len(t) > ctx_len + cont_len + 1]
+    by_len = {}
+    for t in docs[:400]:
+        for w in re.findall(r"[A-Za-z]{3,10}", t):
+            by_len.setdefault(len(w), []).append(w)
+    by_len = {L: list(dict.fromkeys(ws)) for L, ws in by_len.items()}
+
+    exs = []
+    while len(exs) < n:
+        di = int(rng.integers(0, len(docs)))
+        doc = docs[di]
+        start = int(rng.integers(0, len(doc) - ctx_len - cont_len))
+        ctx = doc[start : start + ctx_len]
+        gold = doc[start + ctx_len : start + ctx_len + cont_len]
+        # words fully inside the continuation, not touching its edges
+        words = [
+            m for m in re.finditer(r"[A-Za-z]{3,10}", gold)
+            if m.start() > 0 and m.end() < len(gold)
+        ]
+        if not words:
+            continue
+        m = words[int(rng.integers(0, len(words)))]
+        pool = by_len.get(len(m.group()), ())
+        if len(pool) < 2:
+            continue
+        repl = pool[int(rng.integers(0, len(pool)))]
+        if repl.lower() == m.group().lower():
+            continue
+        distract = gold[: m.start()] + repl + gold[m.end():]
+        exs.append(_two_choice(ctx, gold, distract, rng))
+    return exs
+
+
+def filter_by_teacher_margin(teacher, cfg, candidates, n, dtype):
+    """Adversarial filtering (HellaSwag-style, against the fp teacher only,
+    so the subset is fixed and identical for every system): keep the ``n``
+    candidates the teacher gets RIGHT by the smallest loglikelihood margin.
+    On these near-boundary items quantization logit noise flips decisions,
+    so accuracy retention separates fp / PTQ / QAT."""
+    sc = Z.score_examples(
+        teacher, cfg, candidates, batch_rows=16, compute_dtype=dtype,
+        return_scores=True,
+    )["scores"]
+    golds = np.asarray([e.gold for e in candidates])
+    margin = sc[np.arange(len(candidates)), golds] - sc[
+        np.arange(len(candidates)), 1 - golds
+    ]
+    correct = np.nonzero(margin > 0)[0]
+    keep = correct[np.argsort(margin[correct])[:n]]
+    print(f"[filter] {len(candidates)} candidates, teacher correct on "
+          f"{len(correct)}, kept {len(keep)} smallest-margin "
+          f"(max kept margin {margin[keep].max():.2f} nats)", flush=True)
+    return [candidates[i] for i in keep]
+
+
+def evaluate_model(params, cfg, hold_blocks, mc_tasks, batch, dtype):
     ds = BlockDataset(hold_blocks)
     ppl = evaluate_perplexity(
         params, cfg, ds.batches(batch), compute_dtype=dtype
     )
-    mc = Z.score_examples(
-        params, cfg, mc_examples, batch_rows=16, compute_dtype=dtype
-    )
-    return {
+    out = {
         "ppl": round(ppl["perplexity"], 4),
         "eval_loss": round(ppl["eval_loss"], 5),
-        "mc_acc": round(mc["acc"], 4),
-        "mc_acc_norm": round(mc["acc_norm"], 4),
-        "mc_n": mc["n"],
     }
+    for name, exs in mc_tasks.items():
+        mc = Z.score_examples(
+            params, cfg, exs, batch_rows=16, compute_dtype=dtype
+        )
+        out[f"{name}_acc"] = round(mc["acc"], 4)
+        out[f"{name}_n"] = mc["n"]
+    return out
 
 
 def main():
@@ -243,7 +311,7 @@ def main():
     seq = 128 if small else 256
     batch = 8 if small else 32
     teacher_steps = args.teacher_steps or (30 if small else 3000)
-    qat_steps = args.qat_steps or (20 if small else 1200)
+    qat_steps = args.qat_steps or (20 if small else 4000)
     dtype = jnp.float32 if small else jnp.bfloat16
 
     qcfg = cfg.replace(w_bits=args.w_bits, a_bits=args.a_bits, kv_bits=args.kv_bits)
@@ -292,31 +360,46 @@ def main():
     teacher = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), teacher)
 
     # 3. data-free synthesis (reference pipeline: generate_data.py) ----------
-    gen_dir = os.path.join(args.workdir, "gen_data")
+    # Shards cover start-token ranges (generate_data.py:22); the byte vocab
+    # caps shards*per_shard at 256, so extra volume comes from additional
+    # sampling rounds with distinct seeds (greedy prefixes repeat, sampled
+    # continuations differ).
+    gen_root = os.path.join(args.workdir, "gen_data")
     n_shards = 1 if small else 2
     per_shard = 32 if small else 128
-    for shard in range(n_shards):
-        S.synthesize_shard(
-            teacher, cfg, shard, gen_dir,
-            detokenize=TOK.decode,
-            n_vocab_per_shard=per_shard,
-            batch_size=16 if small else 64,
-            total_len=64 if small else 256,
-            top_k=50, seed=args.seed, dtype=dtype,
-            log_every=200,
-        )
-    merged = S.merge_shards(gen_dir)
-    syn_texts = read_jsonl_texts(merged)
+    n_rounds = 1 if small else 3
+    syn_texts = []
+    for rnd in range(n_rounds):
+        gen_dir = gen_root if rnd == 0 else f"{gen_root}_r{rnd}"
+        for shard in range(n_shards):
+            S.synthesize_shard(
+                teacher, cfg, shard, gen_dir,
+                detokenize=TOK.decode,
+                n_vocab_per_shard=per_shard,
+                batch_size=16 if small else 64,
+                total_len=64 if small else 256,
+                top_k=50, seed=args.seed + rnd, dtype=dtype,
+                log_every=200,
+            )
+        merged = S.merge_shards(gen_dir)
+        syn_texts.extend(read_jsonl_texts(merged))
     syn_ds = BlockDataset(pack_blocks(syn_texts, TOK.encode, seq))
     print(f"[synthesis] {len(syn_texts)} docs -> {len(syn_ds)} blocks", flush=True)
 
     # 4. PTQ baseline: teacher weights under fake-quant, no training ---------
-    mc = make_mc_examples(hold_texts, 64 if small else 512, seed=args.seed)
+    n_mc = 64 if small else 1024
+    cand = make_word_swap_candidates(
+        hold_texts, 4 * n_mc if small else 8192, seed=args.seed + 1
+    )
+    mc_tasks = {
+        "mc_far": make_mc_examples(hold_texts, n_mc, seed=args.seed),
+        "mc_margin": filter_by_teacher_margin(teacher, cfg, cand, n_mc, dtype),
+    }
     results["fp_teacher"] = evaluate_model(
-        teacher, cfg, hold_blocks, mc, batch, dtype
+        teacher, cfg, hold_blocks, mc_tasks, batch, dtype
     )
     print("[eval] fp teacher:", results["fp_teacher"], flush=True)
-    results["ptq"] = evaluate_model(teacher, qcfg, hold_blocks, mc, batch, dtype)
+    results["ptq"] = evaluate_model(teacher, qcfg, hold_blocks, mc_tasks, batch, dtype)
     print(f"[eval] PTQ {bits}:", results["ptq"], flush=True)
 
     # 5. KD-QAT student (pure-KL KD on synthesized data, kd_trainer.py) ------
@@ -333,7 +416,7 @@ def main():
             teacher, qcfg, teacher, cfg, ktcfg, syn_ds, batch, qat_steps, "qat"
         )
         convert.save_hf_checkpoint(student, qcfg, student_dir)
-    results["qat"] = evaluate_model(student, qcfg, hold_blocks, mc, batch, dtype)
+    results["qat"] = evaluate_model(student, qcfg, hold_blocks, mc_tasks, batch, dtype)
     print(f"[eval] QAT {bits}:", results["qat"], flush=True)
 
     out = os.path.join(args.workdir, "results.json")
@@ -343,7 +426,7 @@ def main():
 
     ok = (
         results["qat"]["ppl"] < results["ptq"]["ppl"]
-        and results["qat"]["mc_acc"] >= results["ptq"]["mc_acc"]
+        and results["qat"]["mc_margin_acc"] > results["ptq"]["mc_margin_acc"]
     )
     print(f"[done] QAT beats PTQ: {ok} -> {out}", flush=True)
 

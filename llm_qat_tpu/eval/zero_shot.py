@@ -73,11 +73,14 @@ def score_examples(
     batch_rows: int = 16,
     max_len: Optional[int] = None,
     compute_dtype=jnp.bfloat16,
+    return_scores: bool = False,
 ) -> Dict[str, float]:
     """Score every (context, choice) row, pick argmax per example.
 
     Returns ``acc`` (raw loglikelihood argmax) and ``acc_norm``
-    (per-token-length normalized, lm-eval convention).
+    (per-token-length normalized, lm-eval convention); with
+    ``return_scores`` also the per-example summed-logprob matrix (lm-eval's
+    per-doc loglikelihoods).
     """
     rows: List[np.ndarray] = []
     row_meta: List[tuple] = []  # (example_idx, choice_idx, ctx_len)
@@ -130,7 +133,10 @@ def score_examples(
     golds = np.asarray([e.gold for e in examples])
     acc = float(np.mean(np.argmax(scores, axis=-1) == golds))
     acc_norm = float(np.mean(np.argmax(norm_scores, axis=-1) == golds))
-    return {"acc": acc, "acc_norm": acc_norm, "n": len(examples)}
+    out = {"acc": acc, "acc_norm": acc_norm, "n": len(examples)}
+    if return_scores:
+        out["scores"] = scores  # [n_examples, max_choices] summed logprobs
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -269,6 +269,15 @@ def _forward(
     b, s = input_ids.shape
     max_len = cache["k_q"].shape[4]  # K is transposed [L, b, kvh, hd, S]
 
+    if s == 1 and c.use_unrolled_decode and tp_axis is None:
+        # static-layer-indexed kernels over the stacked weights/cache — no
+        # per-layer HBM slice copies (inference/unrolled.py)
+        from llm_qat_tpu.inference import unrolled
+
+        return unrolled.decode_step(
+            qparams, c, input_ids, seq_lens, active, cache, dtype
+        )
+
     h = jnp.take(qparams["embed"], input_ids, axis=0).astype(dtype)
     positions = seq_lens[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]
 

@@ -44,6 +44,10 @@ class LlamaConfig:
     # cache on read); "post" rotates K before quantizing so reads skip RoPE
     # entirely (faster decode; ~1-lsb different from the training numerics).
     kv_cache_rope: str = "pre"
+    # Unrolled decode: static-layer-indexed kernels over the stacked
+    # weights/cache — removes the scan path's per-layer HBM slice copies
+    # (inference/unrolled.py; DESIGN.md "Decode speed-of-light study").
+    use_unrolled_decode: bool = False
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False

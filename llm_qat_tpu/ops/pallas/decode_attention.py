@@ -266,6 +266,246 @@ def quantized_decode_attention(
     return out.reshape(b, nh, hd)
 
 
+def _decode_attn_stacked_kernel(
+    # scalar prefetch: lens_ref [b] int32, inc_ref [b] int32 (fold new pair?)
+    # inputs:
+    #   q_ref   [1, kvh, groups, hd]
+    #   kq_ref  [1, 1, kvh, hd, bk] int8 — layer-indexed block of the STACK
+    #   ks_ref  [1, 1, 1, bk] f32
+    #   vq_ref  [1, 1, kvh, bk, hd] int8
+    #   vs_ref  [1, 1, bk, 1] f32
+    #   kn_ref  [1, kvh, 1, hd] — current token's K (rotated fake-quant)
+    #   vn_ref  [1, kvh, 1, hd] — current token's V (fake-quant)
+    #   cos_ref/sin_ref [hd/2, bk] f32 (only when rope and tables)
+    # outputs: o_ref [1, kvh, groups, hd]; scratch m/l [kvh, g, 1], acc
+    *refs,
+    bk: int,
+    scale: float,
+    theta: float,
+    rope: bool = True,
+    tables: bool = False,
+):
+    if rope and tables:
+        (lens_ref, inc_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+         kn_ref, vn_ref, cos_ref, sin_ref,
+         o_ref, m_ref, l_ref, acc_ref) = refs
+    else:
+        (lens_ref, inc_ref, q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
+         kn_ref, vn_ref, o_ref, m_ref, l_ref, acc_ref) = refs
+
+    ib = pl.program_id(0)
+    kb = pl.program_id(1)
+    length = lens_ref[ib]
+    n_valid = (length + bk - 1) // bk
+    kvh, groups, hd = q_ref.shape[1:]
+    h2 = hd // 2
+    ct = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb < n_valid)
+    def _():
+        # identical block math to _decode_attn_kernel, reading the stacked
+        # cache block (leading layer+batch singleton dims)
+        start = kb * bk
+        ks = ks_ref[0, 0]                                  # [1, bk]
+        kq = kq_ref[0, 0]                                  # [kvh, hd, bk] i8
+        if rope:
+            if tables:
+                cos = cos_ref[...]
+                sin = sin_ref[...]
+            else:
+                pos = (
+                    start + jax.lax.broadcasted_iota(jnp.int32, (1, bk), 1)
+                ).astype(jnp.float32)
+                inv_freq = jnp.exp(
+                    jax.lax.broadcasted_iota(jnp.int32, (h2, 1), 0).astype(
+                        jnp.float32
+                    )
+                    * (-2.0 / hd)
+                    * jnp.log(jnp.float32(theta))
+                )
+                freqs = inv_freq * pos
+                cos = jnp.cos(freqs)
+                sin = jnp.sin(freqs)
+            cc = (cos * ks).astype(ct)[None]
+            ss = (sin * ks).astype(ct)[None]
+            k1 = kq[:, :h2].astype(ct)
+            k2 = kq[:, h2:].astype(ct)
+            kr = jnp.concatenate([k1 * cc - k2 * ss, k2 * cc + k1 * ss],
+                                 axis=1)                   # [kvh, hd, bk]
+        else:
+            kr = kq.astype(ct) * ks.astype(ct)[None]
+        v = vq_ref[0, 0].astype(ct) * vs_ref[0, 0][None].astype(ct)
+
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
+        valid = col < length
+
+        m_prev, l_prev = m_ref[:], l_ref[:]
+        for h in range(kvh):
+            q = q_ref[0, h].astype(ct)                     # [groups, hd]
+            s = jax.lax.dot_general(
+                q, kr[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = jnp.where(valid, s * scale, _NEG_INF)
+            m_blk = jnp.max(s, axis=-1, keepdims=True)
+            m_new = jnp.maximum(m_prev[h], m_blk)
+            alpha = jnp.exp(m_prev[h] - m_new)
+            p = jnp.exp(s - m_new)
+            m_ref[h] = m_new
+            l_ref[h] = l_prev[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(ct), v[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    @pl.when(kb == jnp.maximum(n_valid - 1, 0))
+    def _():
+        # fold the CURRENT token's (K, V) as one extra online-softmax pair —
+        # the cache stays read-only; its row is written once, post-loop, by
+        # the caller (inference/unrolled.py). Slots with inc == 0 (inactive)
+        # exclude the pair.
+        inc = inc_ref[ib] > 0
+        for h in range(kvh):
+            q = q_ref[0, h].astype(ct)                     # [groups, hd]
+            kn = kn_ref[0, h].astype(ct)                   # [1, hd]
+            s = jax.lax.dot_general(
+                q, kn, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [groups, 1]
+            s = jnp.where(inc, s * scale, _NEG_INF)
+            m_prev, l_prev = m_ref[h], l_ref[h]
+            m_new = jnp.maximum(m_prev, s)
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)                         # [groups, 1]
+            l = l_prev * alpha + p
+            acc = acc_ref[h] * alpha + jax.lax.dot_general(
+                p.astype(ct), vn_ref[0, h].astype(ct),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                              # [groups, hd]
+            l = jnp.maximum(l, 1e-9)
+            o_ref[0, h] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "bk", "theta", "rope")
+)
+def quantized_decode_attention_stacked(
+    q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
+    k_q_all: jax.Array,  # [L, b, kvh, hd, S] int8 — WHOLE stacked cache
+    k_s_all: jax.Array,  # [L, b, S] f32
+    v_q_all: jax.Array,  # [L, b, kvh, S, hd] int8
+    v_s_all: jax.Array,  # [L, b, S] f32
+    lengths: jax.Array,  # [b] int32 — valid OLD rows (current token excluded)
+    include_new: jax.Array,  # [b] int32 — fold the current token's pair?
+    k_new: jax.Array,    # [b, kvh, hd] — current K: fake-quant, rotated
+    v_new: jax.Array,    # [b, kvh, hd] — current V: fake-quant
+    k_cos: jax.Array = None,  # [hd/2, S] hoisted RoPE tables (pre mode)
+    k_sin: jax.Array = None,
+    *,
+    layer: int,
+    theta: float = 10000.0,
+    bk: int = 1024,
+    rope: bool = True,
+) -> jax.Array:          # [b, nh, hd]
+    """`quantized_decode_attention` over layer ``layer`` of the STACKED
+    cache, selected statically in the index maps (no XLA slice, no HBM copy
+    — see DESIGN.md "Decode speed-of-light study"). The cache is read-only:
+    the current token's K/V enter as one extra in-kernel online-softmax
+    pair, and the caller commits all layers' rows in one post-loop write."""
+    b, nh, hd = q.shape
+    L, _, kvh, _, S = k_q_all.shape
+    groups = nh // kvh
+    assert nh == kvh * groups, (q.shape, k_q_all.shape)
+    assert k_q_all.shape[3] == hd and 0 <= layer < L, (k_q_all.shape, layer)
+    bk = _pick_bk(S, kvh, hd, bk)
+    scale = 1.0 / (hd ** 0.5)
+    tables = rope and k_cos is not None
+
+    def clamp(kb, length):
+        nv = jnp.maximum((length + bk - 1) // bk, 1)
+        return jnp.minimum(kb, nv - 1)
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, kvh, groups, hd), lambda ib, kb, lens, inc: (ib, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, 1, kvh, hd, bk),
+            lambda ib, kb, lens, inc: (layer, ib, 0, 0, clamp(kb, lens[ib])),
+        ),
+        pl.BlockSpec(
+            (1, 1, 1, bk),
+            lambda ib, kb, lens, inc: (layer, ib, 0, clamp(kb, lens[ib])),
+        ),
+        pl.BlockSpec(
+            (1, 1, kvh, bk, hd),
+            lambda ib, kb, lens, inc: (layer, ib, 0, clamp(kb, lens[ib]), 0),
+        ),
+        pl.BlockSpec(
+            (1, 1, bk, 1),
+            lambda ib, kb, lens, inc: (layer, ib, clamp(kb, lens[ib]), 0),
+        ),
+        pl.BlockSpec(
+            (1, kvh, 1, hd), lambda ib, kb, lens, inc: (ib, 0, 0, 0)
+        ),
+        pl.BlockSpec(
+            (1, kvh, 1, hd), lambda ib, kb, lens, inc: (ib, 0, 0, 0)
+        ),
+    ]
+    operands = [
+        lengths,
+        include_new.astype(jnp.int32),
+        q.reshape(b, kvh, groups, hd),
+        k_q_all,
+        k_s_all.reshape(L, b, 1, S),
+        v_q_all,
+        v_s_all.reshape(L, b, S, 1),
+        k_new[:, :, None, :],
+        v_new[:, :, None, :],
+    ]
+    if tables:
+        tspec = pl.BlockSpec(
+            (hd // 2, bk),
+            lambda ib, kb, lens, inc: (0, clamp(kb, lens[ib])),
+        )
+        in_specs += [tspec, tspec]
+        operands += [k_cos.astype(jnp.float32), k_sin.astype(jnp.float32)]
+
+    grid = (b, S // bk)
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_attn_stacked_kernel, bk=bk, scale=scale,
+            theta=float(theta), rope=rope, tables=tables,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, kvh, groups, hd), lambda ib, kb, lens, inc: (ib, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((kvh, groups, 1), jnp.float32),
+                pltpu.VMEM((kvh, groups, 1), jnp.float32),
+                pltpu.VMEM((kvh, groups, hd), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, kvh, groups, hd), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*operands)
+    return out.reshape(b, nh, hd)
+
+
 def _paged_attn_kernel(lens_ref, bt_ref, *rest, **kw):
     # block-table indirection happens entirely in the index maps; the body
     # only needs lengths

@@ -81,16 +81,19 @@ def _int8_matmul_kernel(x_ref, w_ref, sx_ref, sw_ref, out_ref, acc_ref):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    # stacked-weight callers pass blocks with a leading singleton layer dim
+    w = w_ref[:] if w_ref.ndim == 2 else w_ref[0]
+    sw = sw_ref[:] if sw_ref.ndim == 2 else sw_ref[0]
     acc_ref[:] += jax.lax.dot_general(
         x_ref[:],
-        w_ref[:],
+        w,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        inv = 1.0 / ((sx_ref[:] + _EPS) * (sw_ref[:] + _EPS))
+        inv = 1.0 / ((sx_ref[:] + _EPS) * (sw + _EPS))
         out_ref[:] = (acc_ref[:].astype(jnp.float32) * inv).astype(out_ref.dtype)
 
 
@@ -199,6 +202,61 @@ def int8_matmul(
     )(xq, wq, sx, sw)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("layer", "out_dtype", "bm", "bn", "bk")
+)
+def int8_matmul_stacked(
+    xq: jax.Array,     # [M, K] int8
+    wq_all: jax.Array,  # [L, K, N] int8 — the WHOLE stacked weight
+    sx: jax.Array,     # [M, 1] f32
+    sw_all: jax.Array,  # [L, 1, N] f32
+    *,
+    layer: int,
+    out_dtype=jnp.bfloat16,
+    bm: int = 512,
+    bn: int = 2048,
+    bk: int = 1024,
+) -> jax.Array:
+    """`int8_matmul` reading layer ``layer`` of a stacked weight in place.
+
+    The unrolled decode path (inference/unrolled.py) passes the full
+    ``[L, K, N]`` array and selects the layer *statically in the index map*:
+    no XLA-level slice exists, so nothing is copied before the custom call —
+    the fix for the scan path's per-layer HBM slice copies (DESIGN.md
+    "Decode speed-of-light study")."""
+    M, K = xq.shape
+    L, K2, N = wq_all.shape
+    assert K == K2 and 0 <= layer < L, (xq.shape, wq_all.shape, layer)
+    bm, bn, bk = _fit_tile(M, bm), _fit_tile(N, bn), _fit_tile(K, bk)
+    bm, bn, bk = _shrink_to_vmem(
+        M, N, K, bm, bn, bk, jnp.dtype(out_dtype).itemsize
+    )
+
+    grid = (M // bm, N // bn, K // bk)
+    return pl.pallas_call(
+        _int8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k: (layer, k, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (layer, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xq, wq_all, sx, sw_all)
+
+
 def int8_matmul_xla(
     xq: jax.Array,   # [M, K] int8
     wq: jax.Array,   # [K, N] int8
@@ -304,8 +362,11 @@ def _w4a8_matmul_kernel(x_lo_ref, x_hi_ref, wp_ref, sx_ref, sw_ref, out_ref, acc
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # sign-extend nibbles via arithmetic shifts (no compare/select)
-    p = wp_ref[:].astype(jnp.int32)
+    # sign-extend nibbles via arithmetic shifts (no compare/select);
+    # stacked-weight callers pass blocks with a leading singleton layer dim
+    wp = wp_ref[:] if wp_ref.ndim == 2 else wp_ref[0]
+    sw = sw_ref[:] if sw_ref.ndim == 2 else sw_ref[0]
+    p = wp.astype(jnp.int32)
     w_lo = ((p << 28) >> 28).astype(jnp.int8)
     w_hi = ((p << 24) >> 28).astype(jnp.int8)
     dn = (((1,), (0,)), ((), ()))
@@ -318,7 +379,7 @@ def _w4a8_matmul_kernel(x_lo_ref, x_hi_ref, wp_ref, sx_ref, sw_ref, out_ref, acc
 
     @pl.when(k == pl.num_programs(2) - 1)
     def _():
-        inv = 1.0 / ((sx_ref[:] + _EPS) * (sw_ref[:] + _EPS))
+        inv = 1.0 / ((sx_ref[:] + _EPS) * (sw + _EPS))
         out_ref[:] = (acc_ref[:].astype(jnp.float32) * inv).astype(out_ref.dtype)
 
 
@@ -374,6 +435,58 @@ def int4_matmul(
         ),
         interpret=_interpret(),
     )(xq, xq, w_packed, sx, sw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "out_dtype", "bm", "bn", "bk")
+)
+def int4_matmul_stacked(
+    xq: jax.Array,      # [M, K] int8 (M multiple of 32)
+    wp_all: jax.Array,  # [L, K//2, N] uint8, split-half packed — WHOLE stack
+    sx: jax.Array,      # [M, 1] f32
+    sw_all: jax.Array,  # [L, 1, N] f32
+    *,
+    layer: int,
+    out_dtype=jnp.bfloat16,
+    bm: int = 512,
+    bn: int = 2048,
+    bk: int = 1024,
+) -> jax.Array:
+    """`int4_matmul` reading layer ``layer`` of the stacked packed weight in
+    place (see `int8_matmul_stacked` for why: no XLA slice, no HBM copy)."""
+    M, K = xq.shape
+    L, Kh, N = wp_all.shape
+    assert K == 2 * Kh and 0 <= layer < L, (xq.shape, wp_all.shape, layer)
+    bm, bn, bk = _fit_tile(M, bm), _fit_tile(N, bn), _fit_tile(Kh, bk)
+    bm, bn, bk = _shrink_to_vmem(
+        M, N, Kh, bm, bn, bk, jnp.dtype(out_dtype).itemsize, x_tiles=2
+    )
+    nk = Kh // bk
+
+    grid = (M // bm, N // bn, nk)
+    return pl.pallas_call(
+        _w4a8_matmul_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, bk), lambda i, j, k, nk=nk: (i, k + nk)),
+            pl.BlockSpec((1, bk, bn), lambda i, j, k: (layer, k, j)),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0)),
+            pl.BlockSpec((1, 1, bn), lambda i, j, k: (layer, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + Kh * N + M * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(xq, xq, wp_all, sx, sw_all)
 
 
 def w4a8_matmul(
