@@ -103,6 +103,59 @@ def main():
     record["vs_baseline"] = round(t_fp / t_q, 4)
     print(json.dumps(record), flush=True)
 
+    # north-star metric LAST so the driver's "take the last line" records it
+    # (VERDICT round-2 item 2): full KD-QAT train step — frozen-teacher
+    # forward + student quantized forward/backward under remat + clip +
+    # AdamW, the exact step cli/train.py runs. W4A8KV4 = the headline
+    # accuracy config (BASELINE.md).
+    from llm_qat_tpu.training import trainer as T
+
+    del params, ids  # free the prefill buffers before the train state
+
+    cfg_t = (
+        TINYLLAMA_1B.replace(
+            w_bits=4, a_bits=8, kv_bits=4,
+            use_flash_attention=True, fused_qat_matmul=True,
+        )
+        if on_tpu
+        else cfg_q.replace(w_bits=4, a_bits=8, kv_bits=4)
+    )
+    tb, ts = (4, 2048) if on_tpu else (1, 128)
+    student = llama.init_params(cfg_t, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    teacher = llama.init_params(
+        cfg_t.replace(w_bits=32, a_bits=32, kv_bits=32),
+        jax.random.PRNGKey(1), dtype=jnp.bfloat16,
+    )
+    tr = T.Trainer(cfg_t, T.TrainConfig(kl_chunk=256), student, teacher)
+    tids = jax.random.randint(jax.random.PRNGKey(2), (tb, ts), 0, cfg_t.vocab_size)
+    batch = {"input_ids": tids, "labels": tids}
+    for _ in range(2):  # compile + settle
+        float(tr.train_step(batch)["loss"])
+    steps = 5 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(steps - 1):
+        m = tr.train_step(batch)
+    m = tr.train_step(batch)
+    float(m["loss"])  # scalar readback = the only reliable fence (axon)
+    t_step = (time.perf_counter() - t0) / steps
+
+    train_tok_s = tb * ts / t_step
+    # MFU against the bf16 peak: teacher fwd (1x fwd flops, bf16) + student
+    # fwd+bwd (3x fwd flops; projections ride the int8 MXU, so bf16-peak
+    # MFU is conservative for the student share)
+    peak_bf16 = chip_peak_flops(int8=False) if on_tpu else None
+    step_flops = model_flops_per_token(cfg_t, ts, training=True) + \
+        model_flops_per_token(cfg_t, ts)
+    train_rec = {
+        "metric": "tinyllama1.1b_w4a8kv4_kdqat_train_throughput",
+        "value": round(train_tok_s, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": None,
+        "mfu": round(train_tok_s * step_flops / peak_bf16, 4)
+        if peak_bf16 else None,
+    }
+    print(json.dumps(train_rec), flush=True)
+
 
 if __name__ == "__main__":
     main()

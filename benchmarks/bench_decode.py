@@ -39,12 +39,17 @@ def main() -> None:
         "--unrolled", action="store_true",
         help="static-layer-indexed unrolled decode (inference/unrolled.py)",
     )
+    ap.add_argument(
+        "--megakernel", action="store_true",
+        help="whole-model decode megakernel (inference/megakernel.py)",
+    )
     args = ap.parse_args()
 
     cfg = TINYLLAMA_1B.replace(
         w_bits=args.w, a_bits=8, kv_bits=args.kv,
         use_decode_kernel=not args.no_kernel,
         use_unrolled_decode=args.unrolled,
+        use_megakernel=args.megakernel,
     )
     if args.layers:
         cfg = cfg.replace(num_hidden_layers=args.layers)

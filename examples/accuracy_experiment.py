@@ -295,6 +295,12 @@ def main():
     ap.add_argument("--w_bits", type=int, default=4)
     ap.add_argument("--a_bits", type=int, default=8)
     ap.add_argument("--kv_bits", type=int, default=4)
+    ap.add_argument(
+        "--sweep", action="store_true",
+        help="run the reference table's axes (README.md:45-54 shape): "
+        "W8A8KV8, W4A8KV8, W4A8KV4, W4A6KV16 (A6 path), W2A8KV8 (2-bit "
+        "branch) — teacher/corpus/synthesis shared across configs",
+    )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
 
@@ -314,11 +320,15 @@ def main():
     qat_steps = args.qat_steps or (20 if small else 4000)
     dtype = jnp.float32 if small else jnp.bfloat16
 
-    qcfg = cfg.replace(w_bits=args.w_bits, a_bits=args.a_bits, kv_bits=args.kv_bits)
-    bits = f"W{args.w_bits}A{args.a_bits}KV{args.kv_bits}"
+    bit_configs = (
+        [(8, 8, 8), (4, 8, 8), (4, 8, 4), (4, 6, 16), (2, 8, 8)]
+        if args.sweep
+        else [(args.w_bits, args.a_bits, args.kv_bits)]
+    )
     results = {
         "config": {
-            "bits": bits, "seed": args.seed, "seq": seq, "batch": batch,
+            "bit_configs": [f"W{w}A{a}KV{kv}" for w, a, kv in bit_configs],
+            "seed": args.seed, "seq": seq, "batch": batch,
             "teacher_steps": teacher_steps, "qat_steps": qat_steps,
             "model": {
                 "hidden": cfg.hidden_size, "layers": cfg.num_hidden_layers,
@@ -399,36 +409,75 @@ def main():
         teacher, cfg, hold_blocks, mc_tasks, batch, dtype
     )
     print("[eval] fp teacher:", results["fp_teacher"], flush=True)
-    results["ptq"] = evaluate_model(teacher, qcfg, hold_blocks, mc_tasks, batch, dtype)
-    print(f"[eval] PTQ {bits}:", results["ptq"], flush=True)
-
-    # 5. KD-QAT student (pure-KL KD on synthesized data, kd_trainer.py) ------
-    student_dir = os.path.join(args.workdir, f"student_{bits.lower()}")
-    if os.path.exists(os.path.join(student_dir, "config.json")):
-        _, student = convert.load_hf_checkpoint(student_dir, dtype=jnp.float32)
-        print("[qat] loaded cached student", flush=True)
-    else:
-        ktcfg = T.TrainConfig(
-            learning_rate=1e-4, total_steps=qat_steps, warmup_steps=0,
-            use_kd=True, kd_loss_scale=1.0, remat=False, compute_dtype=dtype,
-        )
-        student = kd_train(
-            teacher, qcfg, teacher, cfg, ktcfg, syn_ds, batch, qat_steps, "qat"
-        )
-        convert.save_hf_checkpoint(student, qcfg, student_dir)
-    results["qat"] = evaluate_model(student, qcfg, hold_blocks, mc_tasks, batch, dtype)
-    print(f"[eval] QAT {bits}:", results["qat"], flush=True)
 
     out = os.path.join(args.workdir, "results.json")
+    # merge any configs a previous (killed) sweep already finished
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                results.setdefault("configs", {}).update(
+                    json.load(f).get("configs", {})
+                )
+        except (json.JSONDecodeError, OSError):
+            pass
+    results.setdefault("configs", {})
+
+    # 5. per bit-config: PTQ baseline, then KD-QAT student (pure-KL KD on
+    # synthesized data, kd_trainer.py semantics); teacher/corpus/synthesis
+    # shared across the sweep, results written incrementally
+    for w_bits, a_bits, kv_bits in bit_configs:
+        bits = f"W{w_bits}A{a_bits}KV{kv_bits}"
+        qcfg = cfg.replace(w_bits=w_bits, a_bits=a_bits, kv_bits=kv_bits)
+        entry = results["configs"].get(bits, {})
+        if "ptq" not in entry:
+            entry["ptq"] = evaluate_model(
+                teacher, qcfg, hold_blocks, mc_tasks, batch, dtype
+            )
+        print(f"[eval] PTQ {bits}:", entry["ptq"], flush=True)
+
+        student_dir = os.path.join(args.workdir, f"student_{bits.lower()}")
+        if os.path.exists(os.path.join(student_dir, "config.json")):
+            _, student = convert.load_hf_checkpoint(
+                student_dir, dtype=jnp.float32
+            )
+            print(f"[qat {bits}] loaded cached student", flush=True)
+        else:
+            ktcfg = T.TrainConfig(
+                learning_rate=1e-4, total_steps=qat_steps, warmup_steps=0,
+                use_kd=True, kd_loss_scale=1.0, remat=False,
+                compute_dtype=dtype,
+            )
+            student = kd_train(
+                teacher, qcfg, teacher, cfg, ktcfg, syn_ds, batch, qat_steps,
+                f"qat {bits}",
+            )
+            convert.save_hf_checkpoint(student, qcfg, student_dir)
+        if "qat" not in entry:
+            entry["qat"] = evaluate_model(
+                student, qcfg, hold_blocks, mc_tasks, batch, dtype
+            )
+        print(f"[eval] QAT {bits}:", entry["qat"], flush=True)
+        results["configs"][bits] = entry
+
+        # incremental write: a killed sweep keeps finished configs
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    # back-compat single-config keys (round-2 artifact shape)
+    first = f"W{bit_configs[0][0]}A{bit_configs[0][1]}KV{bit_configs[0][2]}"
+    results["ptq"] = results["configs"][first]["ptq"]
+    results["qat"] = results["configs"][first]["qat"]
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results), flush=True)
 
-    ok = (
-        results["qat"]["ppl"] < results["ptq"]["ppl"]
-        and results["qat"]["mc_margin_acc"] > results["ptq"]["mc_margin_acc"]
-    )
-    print(f"[done] QAT beats PTQ: {ok} -> {out}", flush=True)
+    for bits, entry in results["configs"].items():
+        ok = (
+            entry["qat"]["ppl"] < entry["ptq"]["ppl"]
+            and entry["qat"]["mc_margin_acc"] >= entry["ptq"]["mc_margin_acc"]
+        )
+        print(f"[done] {bits}: QAT beats PTQ: {ok}", flush=True)
+    print(f"[done] results -> {out}", flush=True)
 
 
 if __name__ == "__main__":

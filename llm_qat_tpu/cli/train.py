@@ -105,10 +105,19 @@ def run(
         )
 
     # --- mesh + trainer (run_train.sh:42-43 -> mesh axes) ---
+    if training_args.mesh_pp > 1 and training_args.mesh_cp > 1:
+        raise ValueError("choose one of --mesh_pp / --mesh_cp (not both)")
     mesh = pmesh.make_mesh(
         data=training_args.mesh_data,
         fsdp=training_args.mesh_fsdp,
         tp=training_args.mesh_tp,
+        pp=training_args.mesh_pp,
+        cp=training_args.mesh_cp,
+    )
+    parallel = (
+        "pp" if training_args.mesh_pp > 1
+        else "cp" if training_args.mesh_cp > 1
+        else "fsdp"
     )
     n_batch_shards = mesh.shape["data"] * mesh.shape["fsdp"]
     global_batch = training_args.per_device_train_batch_size * n_batch_shards
@@ -136,7 +145,8 @@ def run(
         kl_chunk=256 if training_args.model_max_length >= 1024 else 0,
     )
     tr = T.Trainer(
-        config, tcfg, params, teacher_params, teacher_cfg=teacher_cfg, mesh=mesh
+        config, tcfg, params, teacher_params, teacher_cfg=teacher_cfg,
+        mesh=mesh, parallel=parallel,
     )
 
     ckpt_dir = os.path.join(training_args.output_dir, "checkpoints")

@@ -227,12 +227,17 @@ def adapt_winogrande(doc: dict, tokenize: Tokenize) -> MCExample:
     for opt in options:
         ctx_ids = list(tokenize(prefix + opt))
         full = list(tokenize(prefix + opt + suffix))
-        if full[: len(ctx_ids)] != ctx_ids:
-            # tokenizer merged at the boundary; fall back to scoring the
-            # suffix tokenized alone
-            full = ctx_ids + list(tokenize(suffix))
+        # tokenizer may merge at the option/suffix boundary; lm-eval slices
+        # continuation tokens out of the whole-sentence tokenization, so
+        # align by longest common prefix rather than retokenizing the
+        # suffix standalone (which could differ across choices)
+        lcp = 0
+        for a, b in zip(full, ctx_ids):
+            if a != b:
+                break
+            lcp += 1
         rows.append(full)
-        ctx_lens.append(len(ctx_ids))
+        ctx_lens.append(lcp)
     return MCExample([], rows, gold, ctx_lens=ctx_lens)
 
 

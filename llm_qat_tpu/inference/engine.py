@@ -171,6 +171,17 @@ class InferenceEngine:
         top_k: Optional[int] = None,
         eos_id: Optional[int] = None,
     ) -> int:
+        # capacity check up front: the last cache row is scratch for
+        # inactive slots, so prompt + generation must fit max_len - 1.
+        # Rejecting here (not silently truncating at admission) means a
+        # request can never decode from a mid-sentence prefix
+        # (VERDICT round-2 item 8)
+        if len(prompt) + max_new_tokens > self.max_len - 1:
+            raise ValueError(
+                f"request does not fit: len(prompt)={len(prompt)} + "
+                f"max_new_tokens={max_new_tokens} > max_len-1="
+                f"{self.max_len - 1}; shorten the prompt or raise max_len"
+            )
         self._uid += 1
         self.queue.append(
             Request(
@@ -194,34 +205,46 @@ class InferenceEngine:
     # ----------------------------------------------------------- internals
 
     def _admit(self) -> None:
-        """Fill free slots from the queue (prefill path)."""
-        for b, slot in enumerate(self.slots):
-            if slot is not None or not self.queue:
-                continue
+        """Fill free slots from the queue. Admissions sharing a pow2 bucket
+        are grouped into ONE batched prefill call (VERDICT round-2 item 8:
+        no serial batch-1 prefills for same-shape prompts)."""
+        free = [b for b, s in enumerate(self.slots) if s is None]
+        if not free or not self.queue:
+            return
+        # submit() guarantees len(prompt) + max_new_tokens <= max_len - 1,
+        # so the bucket (capped at max_len - 1) always holds the prompt
+        groups: Dict[int, list] = {}
+        for slot in free:
+            if not self.queue:
+                break
             req = self.queue.popleft()
-            # capacity: last cache row is scratch for inactive slots
-            prompt = req.prompt[: self.max_len - req.max_new_tokens - 1]
-            # the pow2 bucket must still fit the cache region
-            bucket = min(_bucket(len(prompt)), self.max_len - 1)
-            prompt = prompt[:bucket]
+            bucket = min(_bucket(len(req.prompt)), self.max_len - 1)
+            groups.setdefault(bucket, []).append((slot, req))
 
-            # batch-1 prefill of just this slot, spliced into the
-            # persistent cache (donated buffers: no reallocation)
-            ids = np.zeros((1, bucket), np.int32)
-            ids[0, : len(prompt)] = prompt
+        lengths = np.array(self.cache["lengths"])
+        for bucket, items in groups.items():
+            ids = np.zeros((len(items), bucket), np.int32)
+            for i, (_, req) in enumerate(items):
+                ids[i, : len(req.prompt)] = req.prompt
             logits, rows = self._prefill(self.qparams, jnp.asarray(ids))
-            self.cache = M.insert_slot(
-                self.cache,
-                {k: rows[k] for k in ("k_q", "k_s", "v_q", "v_s")},
-                jnp.int32(b),
-            )
-            # prefill wrote `bucket` rows; the slot length is the real
-            # prompt (padding rows beyond it stay invalid)
-            lengths = np.array(self.cache["lengths"])
-            lengths[b] = len(prompt)
-            self.cache = dict(self.cache, lengths=jnp.asarray(lengths))
-            self._logits[b] = np.asarray(logits[0, len(prompt) - 1])
-            self.slots[b] = req
+            logits = np.asarray(logits)
+            for i, (slot, req) in enumerate(items):
+                # splice member i's rows into its slot (donated buffers:
+                # no persistent-cache reallocation)
+                self.cache = M.insert_slot(
+                    self.cache,
+                    {
+                        k: jax.lax.slice_in_dim(rows[k], i, i + 1, axis=1)
+                        for k in ("k_q", "k_s", "v_q", "v_s")
+                    },
+                    jnp.int32(slot),
+                )
+                # prefill wrote `bucket` rows; the slot length is the real
+                # prompt (padding rows beyond it stay invalid)
+                lengths[slot] = len(req.prompt)
+                self._logits[slot] = logits[i, len(req.prompt) - 1]
+                self.slots[slot] = req
+        self.cache = dict(self.cache, lengths=jnp.asarray(lengths))
 
     def _reset_slot(self, b: int) -> None:
         lengths = np.array(self.cache["lengths"])

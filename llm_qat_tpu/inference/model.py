@@ -53,24 +53,51 @@ def init_serving_cache(
     return _empty_cache(config, batch, max_len)
 
 
+def cache_is_packed(config: LlamaConfig) -> bool:
+    """KV4 nibble packing applies to the contiguous single-device cache
+    (config.kv_cache_pack): storage is [.., hd/2, S] / [.., S, hd/2] uint8
+    with the hd halves split-half packed per byte."""
+    return bool(config.kv_cache_pack) and config.kv_bits <= 4
+
+
+def _pack_nibbles(q: jax.Array, axis: int = -1) -> jax.Array:
+    """int8 in [-8, 7] -> uint8, split-half packed along ``axis`` (low half
+    of the axis rides the low nibble — quant_matmul.pack_int4's scheme)."""
+    h2 = q.shape[axis] // 2
+    lo = jax.lax.slice_in_dim(q, 0, h2, axis=axis).astype(jnp.uint8) & 0xF
+    hi = jax.lax.slice_in_dim(q, h2, 2 * h2, axis=axis).astype(jnp.uint8) & 0xF
+    return (hi << 4 | lo).astype(jnp.uint8)
+
+
+def _unpack_nibbles(p: jax.Array, axis: int = -1) -> jax.Array:
+    """Inverse of _pack_nibbles -> int8 (sign-extended nibbles)."""
+    pi = p.astype(jnp.int32)
+    lo = ((pi << 28) >> 28).astype(jnp.int8)
+    hi = ((pi << 24) >> 28).astype(jnp.int8)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
 def _empty_cache(
     config: LlamaConfig, batch: int, max_len: int
 ) -> Dict[str, jax.Array]:
     c = config
-    kshape = (c.num_hidden_layers, batch, c.kv_heads, c.head_dim, max_len)
-    vshape = (c.num_hidden_layers, batch, c.kv_heads, max_len, c.head_dim)
+    hd = c.head_dim // 2 if cache_is_packed(c) else c.head_dim
+    qdt = jnp.uint8 if cache_is_packed(c) else jnp.int8
+    kshape = (c.num_hidden_layers, batch, c.kv_heads, hd, max_len)
+    vshape = (c.num_hidden_layers, batch, c.kv_heads, max_len, hd)
     sshape = (c.num_hidden_layers, batch, max_len)
     return {
-        "k_q": jnp.zeros(kshape, jnp.int8),
+        "k_q": jnp.zeros(kshape, qdt),
         "k_s": jnp.ones(sshape, jnp.float32),
-        "v_q": jnp.zeros(vshape, jnp.int8),
+        "v_q": jnp.zeros(vshape, qdt),
         "v_s": jnp.ones(sshape, jnp.float32),
         "lengths": jnp.zeros((batch,), jnp.int32),
     }
 
 
 def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
-              tp_axis=None, transposed=False, return_fq=False):
+              tp_axis=None, transposed=False, return_fq=False,
+              packed=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
     at its own offset into head-major (cache_q [b, kvh, S, hd] — or
     [b, kvh, hd, S] when ``transposed`` (the K layout) — and cache_s
@@ -92,10 +119,13 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
     fq = None
     if return_fq:
         fq = (nq.astype(jnp.float32) * inv[..., None]).reshape(b, s, kvh, hd)
+    nq = nq.reshape(b, s, kvh, hd)
+    if packed:
+        nq = _pack_nibbles(nq, axis=-1)        # [b, s, kvh, hd/2] uint8
     if transposed:
-        nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 3, 1)  # [b, kvh, hd, s]
+        nq = nq.transpose(0, 2, 3, 1)          # [b, kvh, hd(/2), s]
     else:
-        nq = nq.reshape(b, s, kvh, hd).transpose(0, 2, 1, 3)  # [b, kvh, s, hd]
+        nq = nq.transpose(0, 2, 1, 3)          # [b, kvh, s, hd(/2)]
 
     def write_row(cq, cs, q_new, s_new, wp):
         if transposed:
@@ -112,14 +142,18 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
     return cache_q, cache_s
 
 
-def _dequant_head_major(cq, cs, dtype):
-    """[b, kvh, S, hd] int8 + [b, S] inv scales -> [b, S, kvh, hd]."""
+def _dequant_head_major(cq, cs, dtype, packed=False):
+    """[b, kvh, S, hd(/2)] int + [b, S] inv scales -> [b, S, kvh, hd]."""
+    if packed:
+        cq = _unpack_nibbles(cq, axis=-1)
     d = cq.astype(jnp.float32) * cs[:, None, :, None]
     return d.transpose(0, 2, 1, 3).astype(dtype)
 
 
-def _dequant_transposed(cq, cs, dtype):
-    """[b, kvh, hd, S] int8 (transposed K) + [b, S] -> [b, S, kvh, hd]."""
+def _dequant_transposed(cq, cs, dtype, packed=False):
+    """[b, kvh, hd(/2), S] int (transposed K) + [b, S] -> [b, S, kvh, hd]."""
+    if packed:
+        cq = _unpack_nibbles(cq, axis=-2)
     d = cq.astype(jnp.float32) * cs[:, None, None, :]
     return d.transpose(0, 3, 1, 2).astype(dtype)
 
@@ -153,12 +187,13 @@ def _serving_layer(
 
     k_q, k_s, v_q, v_s = kv_layer
     max_len = v_q.shape[2]
+    packed = cache_is_packed(c) and tp_axis is None
     # local head counts come from the (possibly tp-sharded) cache / fused
     # projection shapes; with tp_axis=None these equal the config's counts
     kvh = k_q.shape[1]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
-    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
+    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype)
     kv_dim = kvh * hd
     q_dim = qkv.shape[-1] - 2 * kv_dim
     nh = q_dim // hd
@@ -177,9 +212,9 @@ def _serving_layer(
     # quantize new K/V per-token and write ("pre" = training hook point,
     # pre-RoPE integers, modeling_llama_quant.py:320-333); K transposed
     k_q, k_s, fq_k = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
-                               transposed=True, return_fq=True)
+                               transposed=True, return_fq=True, packed=packed)
     v_q, v_s, fq_v = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis,
-                               return_fq=True)
+                               return_fq=True, packed=packed)
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
@@ -200,13 +235,13 @@ def _serving_layer(
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_decode_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len, kc, ksn,
-            theta=c.rope_theta, rope=not post_rope,
+            theta=c.rope_theta, rope=not post_rope, packed=packed,
         ).reshape(b, 1, nh * hd)
     else:
         # XLA prefill path: dequantize the cache; "pre" mode re-applies
         # RoPE at absolute positions, "post" stored rotated keys already
-        kd = _dequant_transposed(k_q, k_s, dtype)
-        vd = _dequant_head_major(v_q, v_s, dtype)
+        kd = _dequant_transposed(k_q, k_s, dtype, packed=packed)
+        vd = _dequant_head_major(v_q, v_s, dtype, packed=packed)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
         )
@@ -227,16 +262,16 @@ def _serving_layer(
     # chunked so the all-reduce overlaps the next chunk's dequant+matmul
     nc = 4 if tp_axis is not None else 1
     attn = Q.quant_linear(
-        attn, lq["o"], c.w_bits, out_dtype=dtype,
+        attn, lq["o"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
-    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
+    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype)
     gate, up = jnp.split(gateup, 2, axis=-1)
     x = Q.quant_linear(
-        jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype,
+        jax.nn.silu(gate) * up, lq["down"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
     return h + x, (k_q, k_s, v_q, v_s)
@@ -268,6 +303,14 @@ def _forward(
     c = config
     b, s = input_ids.shape
     max_len = cache["k_q"].shape[4]  # K is transposed [L, b, kvh, hd, S]
+
+    if s == 1 and c.use_megakernel and tp_axis is None:
+        from llm_qat_tpu.inference import megakernel
+
+        if megakernel.supported(c, b, max_len):
+            return megakernel.decode_step(
+                qparams, c, input_ids, seq_lens, active, cache, dtype
+            )
 
     if s == 1 and c.use_unrolled_decode and tp_axis is None:
         # static-layer-indexed kernels over the stacked weights/cache — no

@@ -155,7 +155,7 @@ def _paged_layer(
     kvh = k_q.shape[1]
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
-    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, out_dtype=dtype)
+    qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype)
     kv_dim2 = kvh * hd
     q_dim = qkv.shape[-1] - 2 * kv_dim2
     nh = q_dim // hd
@@ -219,16 +219,16 @@ def _paged_layer(
     # chunked so the all-reduce overlaps the next chunk's dequant+matmul
     nc = 4 if tp_axis is not None else 1
     attn = Q.quant_linear(
-        attn, lq["o"], c.w_bits, out_dtype=dtype,
+        attn, lq["o"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
     h = h + attn
 
     x = llama.rms_norm(h, lq["mlp_norm"], c.rms_norm_eps)
-    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, out_dtype=dtype)
+    gateup = Q.quant_linear(x, lq["gateup"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype)
     gate, up = jnp.split(gateup, 2, axis=-1)
     x = Q.quant_linear(
-        jax.nn.silu(gate) * up, lq["down"], c.w_bits, out_dtype=dtype,
+        jax.nn.silu(gate) * up, lq["down"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
     return h + x, (k_q, k_s, v_q, v_s)

@@ -137,6 +137,15 @@ class PagedInferenceEngine:
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 128,
                temperature: float = 0.0, top_k: Optional[int] = None,
                eos_id: Optional[int] = None) -> int:
+        # reject instead of silently truncating at admission (VERDICT
+        # round-2 item 8); preemption re-queues prompt+output whose total
+        # stays within this same bound
+        if len(prompt) + max_new_tokens > self.pcfg.max_seq_len - 1:
+            raise ValueError(
+                f"request does not fit: len(prompt)={len(prompt)} + "
+                f"max_new_tokens={max_new_tokens} > max_seq_len-1="
+                f"{self.pcfg.max_seq_len - 1}"
+            )
         self._uid += 1
         self.queue.append(Request(
             uid=self._uid, prompt=list(prompt),

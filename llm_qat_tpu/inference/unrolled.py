@@ -54,7 +54,20 @@ def _quant_linear_stacked(
     a_bits: int = 8,
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Per-token activation quant + layer-indexed stacked int matmul."""
+    """Per-token activation quant + layer-indexed stacked int matmul.
+
+    Same ``a_bits`` contract as quantized.quant_linear: 3..8 on the int8
+    MXU, <=2 / >=16 served fp against the dequantized layer slice, 9..15
+    raises (int8 activation container)."""
+    if 8 < a_bits < 16:
+        raise NotImplementedError(
+            f"serving activation container is int8: a_bits={a_bits}"
+        )
+    if a_bits <= 2 or a_bits >= 16:
+        w = Q.dequant_weight(
+            {"q": qw["q"][layer], "s": qw["s"][layer]}, w_bits, dtype=x.dtype
+        )
+        return jnp.matmul(x, w).astype(out_dtype)
     xq, sx = QM.quantize_per_token(x, a_bits)
     xq, M = QM._pad_rows(xq, 32)
     sx, _ = QM._pad_rows(sx, 32)
@@ -83,6 +96,11 @@ def decode_step(
     if c.w_bits not in (4, 8):
         raise NotImplementedError(
             f"unrolled decode supports w4/w8 serving, got w{c.w_bits}"
+        )
+    if c.kv_cache_pack and c.kv_bits <= 4:
+        raise NotImplementedError(
+            "unrolled decode reads the int8 cache container; disable "
+            "kv_cache_pack for use_unrolled_decode at kv_bits<=4"
         )
     b, s = input_ids.shape
     assert s == 1, input_ids.shape

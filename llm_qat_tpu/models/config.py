@@ -44,10 +44,21 @@ class LlamaConfig:
     # cache on read); "post" rotates K before quantizing so reads skip RoPE
     # entirely (faster decode; ~1-lsb different from the training numerics).
     kv_cache_rope: str = "pre"
+    # Nibble-pack the serving KV cache when kv_bits <= 4: two hd-halves per
+    # byte (split-half along head_dim, same scheme as the int4 weights,
+    # quant_matmul.pack_int4) — halves decode-cache HBM traffic at KV4
+    # (VERDICT round-2 weak #4). Contiguous single-device cache only; the
+    # TP/paged/unrolled/megakernel paths keep the int8 container.
+    kv_cache_pack: bool = True
     # Unrolled decode: static-layer-indexed kernels over the stacked
     # weights/cache — removes the scan path's per-layer HBM slice copies
     # (inference/unrolled.py; DESIGN.md "Decode speed-of-light study").
     use_unrolled_decode: bool = False
+    # Whole-model decode megakernel: grid over layers inside ONE pallas
+    # call with in-kernel double-buffered weight/cache streaming — removes
+    # the scan path's per-layer HBM slice copies entirely
+    # (inference/megakernel.py; DESIGN.md "Decode speed-of-light study").
+    use_megakernel: bool = False
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False

@@ -263,6 +263,21 @@ def final_hidden(
     return rms_norm(h, params["final_norm"], config.rms_norm_eps)
 
 
+def _check_prefix_mask(is_prefix) -> None:
+    """Host-side guard for the flash path's right-padded mask contract.
+
+    Runs as a ``jax.debug.callback`` when the mask is a tracer (jitted
+    callers): raising here surfaces a loud error instead of silently wrong
+    attention for non-prefix masks (left padding, packed sequences)."""
+    if not bool(is_prefix):
+        raise ValueError(
+            "flash attention path requires a right-padded prefix "
+            "attention_mask (mask == arange(s) < lengths[:, None]); got a "
+            "non-monotone mask under jit. Disable use_flash_attention or "
+            "right-pad the batch."
+        )
+
+
 def backbone(
     params: Params,
     config: LlamaConfig,
@@ -297,13 +312,27 @@ def backbone(
     # mask rides as per-sequence lengths (right-padded contract — the only
     # mask shape the data/eval pipelines produce); columns >= length are
     # masked inside the kernel, so padded-batch QAT stays on flash instead
-    # of falling back to the O(s²) einsum (VERDICT round-1 item 5)
+    # of falling back to the O(s²) einsum (VERDICT round-1 item 5).
+    # The lengths reduction is only valid for a monotone right-padded
+    # prefix mask. A concrete non-prefix mask (left padding, packed docs)
+    # falls back to the exact einsum path here; a traced one cannot branch
+    # in Python, so a host callback raises at run time instead of letting
+    # the kernel silently attend wrong.
     use_flash = (
         c.use_flash_attention and s % min(128, s) == 0 and s >= 16
     )
     flash_lengths = None
     if use_flash and attention_mask is not None:
         flash_lengths = jnp.sum(attention_mask.astype(jnp.int32), axis=-1)
+        is_prefix = jnp.all(
+            attention_mask.astype(bool)
+            == (jnp.arange(s)[None, :] < flash_lengths[:, None])
+        )
+        if isinstance(is_prefix, jax.core.Tracer):
+            jax.debug.callback(_check_prefix_mask, is_prefix)
+        elif not bool(is_prefix):
+            use_flash = False
+            flash_lengths = None
     mask = (
         jnp.zeros((b, 1, 1, 1), jnp.float32)
         if use_flash

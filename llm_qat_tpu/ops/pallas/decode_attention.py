@@ -67,6 +67,7 @@ def _decode_attn_kernel(
     theta: float,
     rope: bool = True,
     tables: bool = False,
+    packed: bool = False,
 ):
     if rope and tables:
         (q_ref, kq_ref, ks_ref, vq_ref, vs_ref, cos_ref, sin_ref,
@@ -94,7 +95,14 @@ def _decode_attn_kernel(
         ct = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
         ks = ks_ref[0]                                     # [1, bk]
-        kq = kq_ref[0]                                     # [kvh, hd, bk] i8
+        kq = kq_ref[0]                                     # [kvh, hd(/2), bk]
+        if packed:
+            # KV4 nibble-packed cache (model.cache_is_packed): the byte's
+            # nibbles ARE the split-half hd rows the RoPE math wants —
+            # unpack is two shifts, no relayout
+            pi = kq.astype(jnp.int32)
+            k1_i = ((pi << 28) >> 28).astype(jnp.int8)     # rows 0..h2-1
+            k2_i = ((pi << 24) >> 28).astype(jnp.int8)     # rows h2..hd-1
         if rope:
             if tables:
                 # hoisted tables: transcendentals computed once per forward
@@ -120,8 +128,12 @@ def _decode_attn_kernel(
             # dequant + rotation is 4 mul + 2 add per element pair
             cc = (cos * ks).astype(ct)[None]               # [1, hd/2, bk]
             ss = (sin * ks).astype(ct)[None]
-            k1 = kq[:, :h2].astype(ct)                     # [kvh, hd/2, bk]
-            k2 = kq[:, h2:].astype(ct)
+            if packed:
+                k1 = k1_i.astype(ct)                       # [kvh, hd/2, bk]
+                k2 = k2_i.astype(ct)
+            else:
+                k1 = kq[:, :h2].astype(ct)                 # [kvh, hd/2, bk]
+                k2 = kq[:, h2:].astype(ct)
             # rotate-half: [k1*c - k2*s ; k2*c + k1*s], assembled along the
             # sublane (hd) dim so the score matmul is ONE canonical dot
             kr = jnp.concatenate([k1 * cc - k2 * ss, k2 * cc + k1 * ss],
@@ -129,8 +141,24 @@ def _decode_attn_kernel(
         else:
             # post-RoPE cache (config.kv_cache_rope == "post"): integers are
             # already rotated; just dequantize
-            kr = kq.astype(ct) * ks.astype(ct)[None]
-        v = vq_ref[0].astype(ct) * vs_ref[0][None].astype(ct)
+            sk = ks.astype(ct)[None]
+            if packed:
+                kr = jnp.concatenate(
+                    [k1_i.astype(ct) * sk, k2_i.astype(ct) * sk], axis=1
+                )
+            else:
+                kr = kq.astype(ct) * sk
+        vq = vq_ref[0]                                     # [kvh, bk, hd(/2)]
+        if packed:
+            vp = vq.astype(jnp.int32)
+            vq = jnp.concatenate(
+                [
+                    ((vp << 28) >> 28).astype(jnp.int8),
+                    ((vp << 24) >> 28).astype(jnp.int8),
+                ],
+                axis=-1,
+            )
+        v = vq.astype(ct) * vs_ref[0][None].astype(ct)
 
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
         valid = col < length
@@ -174,7 +202,7 @@ def _pick_bk(S: int, kvh: int, hd: int, bk: int) -> int:
     return bk
 
 
-@functools.partial(jax.jit, static_argnames=("bk", "theta", "rope"))
+@functools.partial(jax.jit, static_argnames=("bk", "theta", "rope", "packed"))
 def quantized_decode_attention(
     q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
     k_q: jax.Array,      # [b, kvh, hd, S] int8 — TRANSPOSED pre-RoPE K
@@ -188,12 +216,14 @@ def quantized_decode_attention(
     theta: float = 10000.0,
     bk: int = 1024,
     rope: bool = True,   # False => cache already holds rotated K (post mode)
+    packed: bool = False,  # KV4 nibble-packed cache: hd split-half per byte
 ) -> jax.Array:          # [b, nh, hd]
     b, nh, hd = q.shape
     kvh, S = k_q.shape[1], k_q.shape[3]
     groups = nh // kvh
+    hdc = hd // 2 if packed else hd   # cache's stored head-dim extent
     assert nh == kvh * groups, (q.shape, k_q.shape)
-    assert k_q.shape[2] == hd, ("K must be transposed [b,kvh,hd,S]", k_q.shape)
+    assert k_q.shape[2] == hdc, ("K must be transposed [b,kvh,hd,S]", k_q.shape)
     bk = _pick_bk(S, kvh, hd, bk)
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
@@ -207,7 +237,7 @@ def quantized_decode_attention(
             (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
         ),
         pl.BlockSpec(
-            (1, kvh, hd, bk),
+            (1, kvh, hdc, bk),
             lambda ib, kb, lens: (ib, 0, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
@@ -215,7 +245,7 @@ def quantized_decode_attention(
             lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
-            (1, kvh, bk, hd),
+            (1, kvh, bk, hdc),
             lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib]), 0),
         ),
         pl.BlockSpec(
@@ -242,7 +272,7 @@ def quantized_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _decode_attn_kernel, bk=bk, scale=scale, theta=float(theta),
-            rope=rope, tables=tables,
+            rope=rope, tables=tables, packed=packed,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -134,6 +134,20 @@ def _shrink_to_vmem(
     return bm, bn, bk
 
 
+def _mosaic_ok(*pairs) -> bool:
+    """Mosaic's lowering rule for the last two dims of every block: last
+    dim divisible by 128 or equal to the array's, second-to-last divisible
+    by 8 or equal to the array's. Tiny-model shapes (unit tests, smoke
+    configs) can fail this — callers fall back to the bit-identical XLA
+    int dot instead of crashing in lowering."""
+    for (a, b), (A, B) in pairs:
+        if b % 128 and b != B:
+            return False
+        if a % 8 and a != A:
+            return False
+    return True
+
+
 def _fit_tile(dim: int, target: int) -> int:
     """Largest divisor of ``dim`` that is <= target, preferring divisors
     aligned to the 256-lane/sublane granularity (a halving-only search lands
@@ -174,6 +188,11 @@ def int8_matmul(
         M, N, K, bm, bn, bk, jnp.dtype(out_dtype).itemsize
     )
     assert M % bm == 0 and N % bn == 0 and K % bk == 0, (M, N, K, bm, bn, bk)
+    if not _interpret() and not _mosaic_ok(
+        ((bm, bk), (M, K)), ((bk, bn), (K, N)),
+        ((bm, 1), (M, 1)), ((1, bn), (1, N)), ((bm, bn), (M, N)),
+    ):
+        return int8_matmul_xla(xq, wq, sx, sw, out_dtype=out_dtype)
 
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
@@ -231,6 +250,13 @@ def int8_matmul_stacked(
     bm, bn, bk = _shrink_to_vmem(
         M, N, K, bm, bn, bk, jnp.dtype(out_dtype).itemsize
     )
+    if not _interpret() and not _mosaic_ok(
+        ((bm, bk), (M, K)), ((bk, bn), (K, N)),
+        ((bm, 1), (M, 1)), ((1, bn), (1, N)), ((bm, bn), (M, N)),
+    ):
+        return int8_matmul_xla(
+            xq, wq_all[layer], sx, sw_all[layer], out_dtype=out_dtype
+        )
 
     grid = (M // bm, N // bn, K // bk)
     return pl.pallas_call(
@@ -405,6 +431,13 @@ def int4_matmul(
     bm, bn, bk = _shrink_to_vmem(
         M, N, Kh, bm, bn, bk, jnp.dtype(out_dtype).itemsize, x_tiles=2
     )
+    if not _interpret() and not _mosaic_ok(
+        ((bm, bk), (M, K)), ((bk, bn), (Kh, N)),
+        ((bm, 1), (M, 1)), ((1, bn), (1, N)), ((bm, bn), (M, N)),
+    ):
+        return int8_matmul_xla(
+            xq, unpack_int4(w_packed), sx, sw, out_dtype=out_dtype
+        )
     nk = Kh // bk
 
     grid = (M // bm, N // bn, nk)
@@ -461,6 +494,14 @@ def int4_matmul_stacked(
     bm, bn, bk = _shrink_to_vmem(
         M, N, Kh, bm, bn, bk, jnp.dtype(out_dtype).itemsize, x_tiles=2
     )
+    if not _interpret() and not _mosaic_ok(
+        ((bm, bk), (M, K)), ((bk, bn), (Kh, N)),
+        ((bm, 1), (M, 1)), ((1, bn), (1, N)), ((bm, bn), (M, N)),
+    ):
+        return int8_matmul_xla(
+            xq, unpack_int4(wp_all[layer]), sx, sw_all[layer],
+            out_dtype=out_dtype,
+        )
     nk = Kh // bk
 
     grid = (M // bm, N // bn, nk)

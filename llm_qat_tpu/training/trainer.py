@@ -27,6 +27,8 @@ from __future__ import annotations
 
 import dataclasses
 import math
+
+import numpy as np
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -63,6 +65,7 @@ class TrainConfig:
     kl_chunk: int = 0                  # >0: chunk seq dim of the KL to bound
                                        # the fp32 [b,s,V] logits memory
                                        # (SURVEY.md §7 hard parts)
+    num_microbatches: int = 0          # pipeline microbatches (0: = pp size)
 
 
 @jax.tree_util.register_dataclass
@@ -210,11 +213,62 @@ def make_train_step(
     teacher_cfg: LlamaConfig,
     train_cfg: TrainConfig,
     tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    parallel: str = "fsdp",
 ) -> Callable:
     """Build the fused KD-QAT step: teacher fwd + student fwd/bwd + clip +
     AdamW update, one jit. The teacher forward sits *outside* the student's
     remat scope so it is never recomputed in the backward pass (SURVEY.md §7
-    "Two-model step under remat")."""
+    "Two-model step under remat").
+
+    ``parallel`` selects the student forward (VERDICT round-2 item 7):
+      * "fsdp" — llama.forward under GSPMD sharding (the reference's
+        production path, run_train.sh:42-43);
+      * "pp"   — parallel.pipeline.pipeline_forward over the mesh's pp
+        axis (GPipe); teacher stays data-parallel (llama.forward on
+        replicated params);
+      * "cp"   — models.llama_cp.cp_forward ring attention over the cp
+        axis (student AND teacher — both are plain forwards, and the
+        sequence shards divide the logits memory).
+    pp/cp use the unchunked KD loss: their logits are sequence-sharded so
+    the fp32 slab is already 1/n per device."""
+
+    def student_forward(params, ids, mask):
+        if parallel == "pp":
+            from llm_qat_tpu.parallel import pipeline
+
+            assert mask is None, "pipeline training expects packed blocks"
+            mb = train_cfg.num_microbatches or mesh.shape["pp"]
+            return pipeline.pipeline_forward(
+                params, model_cfg, ids, mesh,
+                num_microbatches=mb, remat=train_cfg.remat,
+                dtype=train_cfg.compute_dtype,
+            )
+        if parallel == "cp":
+            from llm_qat_tpu.models import llama_cp
+
+            assert mask is None, "cp training expects packed blocks"
+            return llama_cp.cp_forward(
+                params, model_cfg, ids, mesh,
+                remat=train_cfg.remat, dtype=train_cfg.compute_dtype,
+            )
+        return llama.forward(
+            params, model_cfg, ids, attention_mask=mask,
+            remat=train_cfg.remat, dtype=train_cfg.compute_dtype,
+        )
+
+    def teacher_forward(teacher_params, ids, mask):
+        if parallel == "cp":
+            from llm_qat_tpu.models import llama_cp
+
+            return llama_cp.cp_forward(
+                teacher_params, teacher_cfg, ids, mesh,
+                dtype=train_cfg.compute_dtype,
+            )
+        return llama.forward(
+            teacher_params, teacher_cfg, ids, attention_mask=mask,
+            dtype=train_cfg.compute_dtype,
+        )
 
     def step(
         state: TrainState,
@@ -227,6 +281,7 @@ def make_train_step(
             train_cfg.use_kd
             and train_cfg.kd_loss_type != "mse"
             and bool(train_cfg.kl_chunk)
+            and parallel == "fsdp"
         )
 
         if chunked_kl:
@@ -242,10 +297,7 @@ def make_train_step(
             )
         elif train_cfg.use_kd:
             teacher_ref = jax.lax.stop_gradient(
-                llama.forward(
-                    teacher_params, teacher_cfg, ids,
-                    attention_mask=mask, dtype=train_cfg.compute_dtype,
-                )
+                teacher_forward(teacher_params, ids, mask)
             )
         else:
             # vanilla label-CE training (train.py:63-70 path): no teacher —
@@ -266,12 +318,7 @@ def make_train_step(
                     train_cfg.kl_chunk,
                 )
                 return train_cfg.kd_loss_scale * kd
-            student_logits = llama.forward(
-                params, model_cfg, ids,
-                attention_mask=mask,
-                remat=train_cfg.remat,
-                dtype=train_cfg.compute_dtype,
-            )
+            student_logits = student_forward(params, ids, mask)
             if train_cfg.use_kd:
                 if train_cfg.kd_loss_type == "mse":
                     kd = jnp.mean(
@@ -342,17 +389,20 @@ def _opt_state_specs(abstract_opt: Any, params: Any, specs: Any) -> Any:
 
 
 def init_train_state(
-    params: Any, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None
+    params: Any, tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None, specs: Any = None,
 ) -> TrainState:
     """Init optimizer state. Under a mesh the Adam mu/nu are explicitly
-    sharded like the params (ZeRO-3: optimizer state on the fsdp axis) —
-    jit's sharding propagation alone does NOT do this (observed: the whole
-    opt state lands on one device)."""
+    sharded like the params (ZeRO-3: optimizer state on the fsdp axis;
+    stage-sharded under pp via ``specs``) — jit's sharding propagation
+    alone does NOT do this (observed: the whole opt state lands on one
+    device)."""
     if mesh is None:
         opt_state = jax.jit(tx.init)(params)
         step = jnp.zeros((), jnp.int32)
     else:
-        specs = pmesh.param_specs("lm_head" not in params)
+        if specs is None:
+            specs = pmesh.param_specs("lm_head" not in params)
         abstract = jax.eval_shape(tx.init, params)
         out_shardings = jax.tree.map(
             lambda s: NamedSharding(mesh, s),
@@ -384,10 +434,22 @@ class Trainer:
         teacher_params: Any = None,
         teacher_cfg: Optional[LlamaConfig] = None,
         mesh: Optional[Mesh] = None,
+        parallel: str = "fsdp",
     ):
+        """``parallel``: "fsdp" (default; GSPMD ZeRO-3 over the mesh),
+        "pp" (GPipe over the mesh's pp axis — params/Adam state stage-
+        sharded, teacher replicated), or "cp" (ring attention over the cp
+        axis — params replicated, sequence sharded)."""
+        if parallel not in ("fsdp", "pp", "cp"):
+            raise ValueError(f"unknown parallel mode {parallel!r}")
+        if parallel in ("pp", "cp") and (
+            mesh is None or parallel not in mesh.shape
+        ):
+            raise ValueError(f"parallel={parallel!r} needs a mesh with that axis")
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.mesh = mesh
+        self.parallel = parallel
         if teacher_params is not None:
             # the student is routinely initialized FROM the teacher
             # (train.py:55-62 loads the same checkpoint into the quant
@@ -398,25 +460,56 @@ class Trainer:
             params = jax.tree.map(
                 lambda x: jnp.copy(x) if id(x) in tids else x, params
             )
+        self._param_specs = None
         if mesh is not None:
-            params = pmesh.shard_params(params, mesh)
-            if teacher_params is not None:
-                teacher_params = pmesh.shard_params(teacher_params, mesh)
+            if parallel == "pp":
+                from llm_qat_tpu.parallel import pipeline
+
+                self._param_specs = pipeline.pipeline_param_specs(
+                    "lm_head" not in params
+                )
+            elif parallel == "cp":
+                # cp_forward's shard_map replicates params across the ring
+                self._param_specs = jax.tree.map(lambda _: P(), params)
+            if self._param_specs is not None:
+                params = pmesh.shard_params(params, mesh, self._param_specs)
+                if teacher_params is not None:
+                    teacher_params = pmesh.shard_params(
+                        teacher_params, mesh,
+                        jax.tree.map(lambda _: P(), teacher_params),
+                    )
+            else:
+                params = pmesh.shard_params(params, mesh)
+                if teacher_params is not None:
+                    teacher_params = pmesh.shard_params(teacher_params, mesh)
         self.teacher_params = teacher_params
         self.teacher_cfg = teacher_cfg or model_cfg.replace(
             w_bits=32, a_bits=32, kv_bits=32
         )
         self.tx = make_optimizer(train_cfg)
-        self.state = init_train_state(params, self.tx, mesh)
+        self.state = init_train_state(
+            params, self.tx, mesh, self._param_specs
+        )
         self._step = jax.jit(
-            make_train_step(model_cfg, self.teacher_cfg, train_cfg, self.tx),
+            make_train_step(
+                model_cfg, self.teacher_cfg, train_cfg, self.tx,
+                mesh=mesh, parallel=parallel,
+            ),
             donate_argnums=(0,),
         )
         self._eval = jax.jit(make_eval_step(model_cfg, train_cfg.compute_dtype))
 
+    def _place_batch(self, batch):
+        if self.mesh is None:
+            return batch
+        if self.parallel == "fsdp":
+            return shard_batch(batch, self.mesh)
+        # pp/cp consume the global batch (shard_map distributes internally)
+        s = NamedSharding(self.mesh, P())
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+
     def train_step(self, batch: Dict[str, jax.Array]) -> Dict[str, float]:
-        if self.mesh is not None:
-            batch = shard_batch(batch, self.mesh)
+        batch = self._place_batch(batch)
         self.state, metrics = self._step(self.state, self.teacher_params, batch)
         return metrics
 
@@ -428,10 +521,14 @@ class Trainer:
         total_nll = 0.0
         total_tokens = 0.0
         for batch in batches:
-            if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+            batch = self._place_batch(batch)
             nll_sum, count = self._eval(self.state.params, batch)
             total_nll += float(nll_sum)
             total_tokens += float(count)
         mean = total_nll / max(total_tokens, 1.0)
-        return {"eval_loss": mean, "perplexity": float(math.exp(mean))}
+        # np.exp overflows to inf (with a warning) instead of raising like
+        # math.exp — a divergent model should report perplexity=inf, not
+        # crash evaluate()
+        with np.errstate(over="ignore"):
+            ppl = float(np.exp(mean))
+        return {"eval_loss": mean, "perplexity": ppl}

@@ -74,6 +74,8 @@ class TrainingArguments:
     mesh_data: int = 1
     mesh_fsdp: int = -1
     mesh_tp: int = 1
+    mesh_pp: int = 1                    # GPipe pipeline axis (trainer "pp")
+    mesh_cp: int = 1                    # ring-attention context axis ("cp")
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls: Type) -> None:

@@ -175,6 +175,7 @@ def test_quantize_params_host_matches_device():
     )
 
 
+@pytest.mark.slow
 def test_engine_long_prompt_bucket_fits_cache():
     """A prompt whose pow2 bucket exceeds max_len must not crash prefill."""
     eng = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=48, dtype=jnp.float32)
@@ -238,3 +239,152 @@ def test_engine_flash_prefill_token_parity():
         done = sorted(eng.run(), key=lambda r: r.uid)
         outs.append([r.output for r in done])
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("a_bits", [6, 16])
+def test_serving_honors_a_bits(a_bits):
+    """A6/A16-trained configs must serve with the numerics they trained
+    with (VERDICT round-2 missing #2): serving forward vs the fake-quant
+    training oracle at the same a_bits."""
+    cfg = TINY_TEST.replace(w_bits=4, a_bits=a_bits, kv_bits=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    want = np.asarray(llama.forward(params, cfg, ids))
+
+    cache = M.init_serving_cache(cfg, batch=2, max_len=32)
+    logits, _ = M.serving_forward(
+        qparams, cfg, ids,
+        jnp.zeros((2,), jnp.int32), jnp.ones((2,), bool), cache,
+        dtype=jnp.float32,
+    )
+    # A16: serving runs fp acts where training fake-quants at 16 bits/token
+    # (~2^-15 relative) — the tolerance absorbs it
+    np.testing.assert_allclose(np.asarray(logits), want, rtol=5e-3, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_serving_a6_decode_scan_unrolled_agree():
+    """The scan and unrolled decode paths must agree at a_bits=6 — they
+    previously disagreed (scan hardcoded A8)."""
+    from tests.test_unrolled import _prefilled
+
+    cfg = TINY_TEST.replace(w_bits=8, a_bits=6, kv_bits=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [5, 9])
+    tok = jax.random.randint(jax.random.PRNGKey(7), (b, 1), 0, cfg.vocab_size)
+    active = jnp.ones((b,), bool)
+    lg_scan, _ = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_unr, _ = M.serving_forward(
+        qparams, cfg.replace(use_unrolled_decode=True), tok,
+        cache["lengths"], active, cache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_unr), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_serving_a12_raises():
+    """9..15-bit activations don't fit the int8 serving container — must
+    error loudly, not silently serve A8."""
+    cfg = TINY_TEST.replace(w_bits=8, a_bits=12, kv_bits=8)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    cache = M.init_serving_cache(cfg, 1, 16)
+    with pytest.raises(NotImplementedError, match="int8"):
+        M.serving_forward(
+            qparams, cfg, ids, jnp.zeros((1,), jnp.int32),
+            jnp.ones((1,), bool), cache,
+        )
+
+
+def test_engine_rejects_overlong_request():
+    """Over-capacity submissions error loudly instead of silently decoding
+    from a truncated prefix (VERDICT round-2 item 8)."""
+    eng = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=32)
+    with pytest.raises(ValueError, match="does not fit"):
+        eng.submit(list(range(1, 30)), max_new_tokens=8)
+    # paged engine: same contract
+    from llm_qat_tpu.inference import paged_engine as PE
+    from llm_qat_tpu.inference.paged import PagedConfig
+    peng = PE.PagedInferenceEngine(
+        QPARAMS, CFG, max_batch=1,
+        pcfg=PagedConfig(page_size=8, n_pages=8, max_pages_per_seq=4),
+    )
+    with pytest.raises(ValueError, match="does not fit"):
+        peng.submit(list(range(1, 30)), max_new_tokens=8)
+
+
+@pytest.mark.slow
+def test_engine_batched_same_bucket_admission(monkeypatch):
+    """4 same-bucket prompts must admit via ONE prefill call, and token
+    outputs must match the serial-admission baseline."""
+    rng = np.random.default_rng(5)
+    prompts = [list(rng.integers(1, CFG.vocab_size, n)) for n in (9, 12, 11, 10)]
+
+    def outputs(eng):
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        return {r.uid: r.output for r in eng.run()}
+
+    eng = E.InferenceEngine(QPARAMS, CFG, max_batch=4, max_len=64,
+                            dtype=jnp.float32)
+    calls = []
+    real = eng._prefill
+    eng._prefill = lambda qp, ids: (calls.append(ids.shape), real(qp, ids))[1]
+    got = outputs(eng)
+    assert calls == [(4, 16)], calls  # one batched prefill, pow2 bucket
+
+    # serial baseline: admit one at a time (batch-1 groups)
+    eng1 = E.InferenceEngine(QPARAMS, CFG, max_batch=1, max_len=64,
+                             dtype=jnp.float32)
+    want = outputs(eng1)
+    assert got == want
+
+
+@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+def test_kv4_packed_cache_matches_int8_container(rope_mode):
+    """KV4 nibble-packed cache (kv_cache_pack) must produce IDENTICAL
+    logits to the int8-container path — the ints are the same, only the
+    storage differs (VERDICT round-2 weak #4)."""
+    cfg_p = TINY_TEST.replace(
+        w_bits=8, a_bits=8, kv_bits=4, kv_cache_rope=rope_mode,
+        kv_cache_pack=True,
+    )
+    cfg_u = cfg_p.replace(kv_cache_pack=False)
+    params = llama.init_params(cfg_p, jax.random.PRNGKey(0))
+    qp = Q.quantize_params(params, cfg_p)
+    b, max_len = 2, 32
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, 16), 0, cfg_p.vocab_size)
+
+    def run(cfg):
+        cache = M.init_serving_cache(cfg, b, max_len)
+        lg, cache = M.serving_forward(
+            qp, cfg, ids, jnp.zeros((b,), jnp.int32),
+            jnp.ones((b,), bool), cache, dtype=jnp.float32,
+        )
+        # one decode step on top (exercises the packed decode kernel)
+        tok = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+        lg2, cache = M.serving_forward(
+            qp, cfg, tok, cache["lengths"], jnp.ones((b,), bool), cache,
+            dtype=jnp.float32,
+        )
+        return np.asarray(lg2), cache
+
+    lg_p, cache_p = run(cfg_p)
+    lg_u, cache_u = run(cfg_u)
+    assert cache_p["k_q"].dtype == jnp.uint8
+    assert cache_p["k_q"].shape[3] == cfg_p.head_dim // 2  # half the bytes
+    np.testing.assert_allclose(lg_p, lg_u, rtol=2e-5, atol=2e-5)
+    # the packed ints ARE the container ints, nibble-packed
+    ku = np.asarray(cache_u["k_q"])  # [L, b, kvh, hd, S]
+    kp = np.asarray(cache_p["k_q"])  # [L, b, kvh, hd/2, S]
+    h2 = cfg_p.head_dim // 2
+    lo = (ku[:, :, :, :h2].astype(np.uint8)) & 0xF
+    hi = (ku[:, :, :, h2:].astype(np.uint8)) & 0xF
+    np.testing.assert_array_equal(kp, (hi << 4 | lo).astype(np.uint8))

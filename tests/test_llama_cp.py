@@ -61,6 +61,7 @@ def test_cp_grads_match():
     )
 
 
+@pytest.mark.slow
 def test_cp_transport_quantization_close():
     """int8 ring transport adds only small error on top of the model's own
     KV quant."""

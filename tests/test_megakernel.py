@@ -1,0 +1,117 @@
+"""Whole-model decode megakernel (inference/megakernel.py): parity with the
+scan serving path — logits and the exact committed cache integers."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from llm_qat_tpu.inference import model as M
+from llm_qat_tpu.inference import quantized as Q
+from llm_qat_tpu.models import llama
+from llm_qat_tpu.models.config import TINY_TEST
+
+from tests.test_unrolled import _prefilled
+
+# megakernel needs NC | {H, Dq, 2I}: TINY_TEST dims already satisfy this on
+# the interpret path (NC becomes the gcd)
+CFG_BASE = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+
+
+@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+def test_megakernel_matches_scan_decode(rope_mode):
+    cfg = CFG_BASE.replace(kv_cache_rope=rope_mode)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 3, 32
+    lens = [5, 11, 8]
+    cache = _prefilled(cfg, qparams, b, max_len, lens)
+
+    tok = jax.random.randint(jax.random.PRNGKey(7), (b, 1), 0, cfg.vocab_size)
+    active = jnp.asarray([True, True, True])
+
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    cfg_m = cfg.replace(use_megakernel=True)
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg_m, tok, cache["lengths"], active, cache,
+        dtype=jnp.float32,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(lg_meg), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+    )
+    # committed integers must be EXACTLY the scan path's
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
+    for key in ("k_s", "v_s", "lengths"):
+        np.testing.assert_allclose(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key]), rtol=1e-6
+        )
+
+
+def test_megakernel_inactive_and_empty_slots():
+    """Inactive slots must not advance; empty+inactive slots must not
+    poison the softmax accumulator."""
+    cfg = CFG_BASE.replace(use_megakernel=True)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 3, 32
+    cache = _prefilled(cfg.replace(use_megakernel=False), qparams, b,
+                       max_len, [6, 4, 9])
+    tok = jax.random.randint(jax.random.PRNGKey(3), (b, 1), 0, cfg.vocab_size)
+    active = jnp.asarray([True, False, True])
+
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=False), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_meg["lengths"]), np.asarray(c_scan["lengths"])
+    )
+    # logits parity for the ACTIVE slots (inactive slots' outputs are
+    # discarded by the engine)
+    for i in (0, 2):
+        np.testing.assert_allclose(
+            np.asarray(lg_meg[i]), np.asarray(lg_scan[i]),
+            rtol=2e-4, atol=2e-4,
+        )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
+
+
+@pytest.mark.slow
+def test_megakernel_greedy_rollout_matches_scan():
+    cfg = CFG_BASE
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 64
+
+    def rollout(c):
+        cache = _prefilled(c.replace(use_megakernel=False), qparams, b,
+                           max_len, [7, 12])
+        toks = jax.random.randint(
+            jax.random.PRNGKey(5), (b, 1), 0, cfg.vocab_size
+        )
+        out = []
+        active = jnp.ones((b,), bool)
+        for _ in range(8):
+            lg, cache = M.serving_forward(
+                qparams, c, toks, cache["lengths"], active, cache,
+                dtype=jnp.float32,
+            )
+            toks = jnp.argmax(lg[:, -1:], -1).astype(jnp.int32)
+            out.append(np.asarray(toks[:, 0]))
+        return np.stack(out)
+
+    t_scan = rollout(cfg)
+    t_meg = rollout(cfg.replace(use_megakernel=True))
+    np.testing.assert_array_equal(t_meg, t_scan)

@@ -33,8 +33,12 @@ def _prefilled(cfg, qparams, b, max_len, lens, seed=0):
     return cache
 
 
-@pytest.mark.parametrize("w_bits", [8, 4])
-@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+@pytest.mark.parametrize("w_bits,rope_mode", [
+    (8, "pre"),
+    pytest.param(4, "pre", marks=pytest.mark.slow),
+    pytest.param(8, "post", marks=pytest.mark.slow),
+    pytest.param(4, "post", marks=pytest.mark.slow),
+])
 def test_unrolled_matches_scan_decode(w_bits, rope_mode):
     cfg = TINY_TEST.replace(
         w_bits=w_bits, a_bits=8, kv_bits=8, kv_cache_rope=rope_mode
