@@ -7,29 +7,37 @@ weights + ~8.5 MB of cache per layer per step), and the scalar-prefetch
 stacked-kernel variants serialize their DMAs behind scalar-dependent index
 maps. This kernel removes the structural problem: the grid is ``(L,)`` over
 layers, every weight/cache tensor stays in HBM (``memory_space=ANY``, no
-BlockSpec slicing), and the kernel streams weight chunks and KV blocks into
-VMEM itself with double-buffered ``make_async_copy`` DMAs — so layer
-``l+1``'s first weight chunks are in flight while layer ``l``'s MLP still
-computes, and nothing is ever copied HBM->HBM.
+BlockSpec slicing), and the kernel streams them itself with double-buffered
+``make_async_copy`` DMAs — layer ``l+1``'s first weight chunks are in
+flight while layer ``l``'s MLP still computes, so the DMA engine never
+drains across layer boundaries and nothing is copied HBM->HBM.
 
 Numerics mirror the scan path (inference/model.py::_serving_layer at s=1)
 op for op:
   * per-token int8 activation quant (+1e-6 epsilons) -> int8 MXU dot ->
-    ``acc / ((sx+eps)(sw+eps))`` fixup — same math as
-    quant_matmul.int8_matmul / int8_matmul_xla (exact int32 dot);
-  * KV written per-token pre-RoPE (modeling_llama_quant.py:320-333) as
-    int8 + inverse scales at each slot's own ``write_pos`` (inactive slots
-    write the scratch row ``S-1``), bit-identical integers to
-    model._write_kv;
-  * attention = decode_attention's online softmax, streaming the int8
-    cache in BK-column blocks: dequant + (pre mode) table-RoPE folded into
-    the cos/sin coefficients, f32 scores/accumulator, current token folded
-    as a final online-softmax pair (active slots only);
-  * residual stream carried in VMEM scratch across the grid (one layer per
-    grid step), fp32-accum RMSNorm.
+    ``acc / ((sx+eps)(sw+eps))`` fixup — the same exact-int32 math as
+    quant_matmul.int8_matmul / int8_matmul_xla;
+  * K/V quantized per-token (pre-RoPE hook, modeling_llama_quant.py:
+    320-333); the kernel RETURNS each layer's integers + inverse scales
+    and the caller commits them with vmapped dynamic_update_slice into the
+    cache (one small write per step — per-slot column DMAs from inside
+    the kernel don't meet Mosaic's DMA tiling rules);
+  * attention = decode_attention's online softmax over the streamed int8
+    cache (K in BK-column chunks off its transposed layout, V as one
+    per-layer plane — its [.., S, hd] layout cannot be column-sliced by
+    the DMA engine), current token folded as a final pair (active slots);
+  * residual stream carried in VMEM scratch across the grid, fp32-accum
+    RMSNorm, hoisted RoPE tables.
 
-Supported: w_bits == 8, b <= 32, NC | {Dq, H, 2I}, BK | S. Other configs
-fall back to the scan path in model._forward.
+Mosaic shape discipline (learned the hard way, kept for posterity): no
+vector reshapes that split/merge the lane dim, no concats of slices with
+mismatched sublane offsets, no dynamic/odd sublane indices — everything is
+2-D values + leading-dim indexed refs, with unit dims materialized in the
+operand layouts ([L, 1, H] norms, [L, b, 1, S] scales, [nb, hd/2, BK]
+tables).
+
+Supported: w_bits == 8, 2<a_bits<=8, unpacked int8 KV cache, b <= 32,
+NC | {Dq, H, 2I}, BK | S. Other configs fall back to the scan path.
 """
 
 from __future__ import annotations
@@ -80,7 +88,7 @@ def _pick_nc(c: LlamaConfig) -> int:
 
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
-    nc = 512
+    nc = 256
     while nc > g or g % nc:
         nc //= 2
         if nc == 0:
@@ -107,49 +115,51 @@ def _kernel(
     x_ref,        # [b, H] dtype — embedded token
     qcos_ref,     # [b, hd/2] f32 — RoPE at each slot's current position
     qsin_ref,
-    actv_ref,     # [b, 1] f32 — 1.0 where the slot commits (VMEM copy of
-                  # act_ref: Mosaic-friendly vector form for the fold mask)
-    kcos_ref,     # [hd/2, S] f32 — cache K-RoPE tables (pre mode)
-    ksin_ref,
+    kcos_ref,     # [S//BK, hd/2, BK] f32 — cache K-RoPE tables, chunked so
+    ksin_ref,     # the kernel indexes the leading (block) dim
     qkv_s_ref,    # [L, 1, Dq] f32 weight scales
     o_s_ref,      # [L, 1, H]
     gu_s_ref,     # [L, 1, 2I]
     dn_s_ref,     # [L, 1, H]
-    anorm_ref,    # [L, H]
-    mnorm_ref,    # [L, H]
+    anorm_ref,    # [L, 1, H] (leading-dim layer index)
+    mnorm_ref,    # [L, 1, H]
     # HBM (ANY) inputs
     qkv_w_ref,    # [L, H, Dq] int8
     o_w_ref,      # [L, H, H] int8
     gu_w_ref,     # [L, H, 2I] int8
     dn_w_ref,     # [L, I, H] int8
-    kq_hbm,       # [L, b, kvh, hd, S] int8 (aliased out)
-    ks_hbm,       # [L, b, S] f32       (aliased out)
-    vq_hbm,       # [L, b, kvh, S, hd] int8 (aliased out)
-    vs_hbm,       # [L, b, S] f32       (aliased out)
+    kq_hbm,       # [L, b, kvh, hd, S] int8 (read-only)
+    ks_hbm,       # [L, b, 1, S] f32
+    vq_hbm,       # [L, b, kvh, hd, S] int8 — V TRANSPOSED to K's layout
+                  # (the [.., S, hd] cache layout lane-pads hd to 128 in
+                  # HBM, so the DMA engine cannot slice it; the caller
+                  # passes swapaxes(3, 4) and XLA materializes the copy)
+    vs_hbm,       # [L, b, 1, S] f32
     # outputs
-    kq_out, ks_out, vq_out, vs_out,   # aliased — written via DMA only
     y_ref,        # [b, H] dtype — final hidden (pre-final-norm)
+    kint_ref,     # [1, b, kv_dim] int8 block — this layer's new K ints
+    vint_ref,     # [1, b, kv_dim] int8
+    kinv_ref,     # [1, b, 1] f32 — inverse scales
+    vinv_ref,     # [1, b, 1] f32
     # scratch
     h_ref,        # [b, H] dtype — residual stream (persists across grid)
     xq_ref,       # [BM, Kmax] int8 — quantized activations (rows b.. zero)
     qkv_ref,      # [b, Dq] dtype
     attn_ref,     # [b, H] dtype
     gu_ref,       # [b, 2I] dtype
-    qrot_ref,     # [b, kvh, groups, hd] f32 — post-RoPE query
+    qrot_ref,     # [b, nh*hd] f32 — post-RoPE query (2-D rope staging)
+    q4_ref,       # [b, kvh, groups, hd] f32 — same values, head-major for
+                  # [groups, hd] loads with leading indices
     m_ref,        # [b, kvh, groups, 1] f32
     l_ref,        # [b, kvh, groups, 1] f32
     acc_ref,      # [b, kvh, groups, hd] f32
-    kst_ref,      # [b, kvh, hd, 1] int8 — current-token K staging
-    vst_ref,      # [b, kvh, 1, hd] int8
-    kss_ref,      # [b, 1] f32 — inverse scales staging
-    vss_ref,      # [b, 1] f32
     wA_ref,       # [2, H, NC] int8
     wB_ref,       # [2, I, NC] int8
     kbuf_ref,     # [2, b, kvh, hd, BK] int8
-    ksb_ref,      # [2, b, BK] f32
-    vbuf_ref,     # [2, b, kvh, BK, hd] int8
-    vsb_ref,      # [2, b, BK] f32
-    semA, semB, sematt, semwr,
+    ksb_ref,      # [2, b, 1, BK] f32
+    vbuf_ref,     # [2, b, kvh, hd, BK] int8 (transposed V chunks)
+    vsb_ref,      # [2, b, 1, BK] f32
+    semA, semB, sematt,
     *,
     cfg: LlamaConfig,
     b: int,
@@ -189,7 +199,6 @@ def _kernel(
     nA = len(A_SCHED)
     assert nA >= 2 and nB >= 2, (nA, nB)
     A_REFS = {"qkv": qkv_w_ref, "o": o_w_ref, "gu": gu_w_ref}
-    A_SCALES = {"qkv": qkv_s_ref, "o": o_s_ref, "gu": gu_s_ref}
 
     def startA(seq, layer):
         stage, j = A_SCHED[seq]
@@ -221,8 +230,8 @@ def _kernel(
             semB.at[j % 2],
         ).wait()
 
-    # after computing A-chunk ``seq`` (or B-chunk nA+j), kick the DMA two
-    # slots ahead in the global schedule — the slot just freed
+    # after computing A-chunk ``seq`` kick the DMA two slots ahead in the
+    # global schedule — into the slot just freed
     def kick(seq):
         nxt = seq + 2
         if nxt < nA:
@@ -249,7 +258,7 @@ def _kernel(
         startA(0, 0)
         startA(1, 0)
 
-    # ---- attention chunk DMAs (cache streaming) -------------------------
+    # ---- attention streaming: K/V/scale chunks --------------------------
     lens = [lens_ref[i] for i in range(b)]
     maxlen = lens[0]
     for i in range(1, b):
@@ -262,15 +271,15 @@ def _kernel(
             kbuf_ref.at[slot], sematt.at[slot, 0],
         ).start()
         pltpu.make_async_copy(
-            ks_hbm.at[l_id, :, pl.ds(kb_idx * BK, BK)],
+            ks_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
             ksb_ref.at[slot], sematt.at[slot, 1],
         ).start()
         pltpu.make_async_copy(
-            vq_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK), :],
+            vq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
             vbuf_ref.at[slot], sematt.at[slot, 2],
         ).start()
         pltpu.make_async_copy(
-            vs_hbm.at[l_id, :, pl.ds(kb_idx * BK, BK)],
+            vs_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
             vsb_ref.at[slot], sematt.at[slot, 3],
         ).start()
 
@@ -280,15 +289,15 @@ def _kernel(
             kbuf_ref.at[slot], sematt.at[slot, 0],
         ).wait()
         pltpu.make_async_copy(
-            ks_hbm.at[l_id, :, pl.ds(kb_idx * BK, BK)],
+            ks_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
             ksb_ref.at[slot], sematt.at[slot, 1],
         ).wait()
         pltpu.make_async_copy(
-            vq_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK), :],
+            vq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
             vbuf_ref.at[slot], sematt.at[slot, 2],
         ).wait()
         pltpu.make_async_copy(
-            vs_hbm.at[l_id, :, pl.ds(kb_idx * BK, BK)],
+            vs_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
             vsb_ref.at[slot], sematt.at[slot, 3],
         ).wait()
 
@@ -321,7 +330,7 @@ def _kernel(
     # =====================================================================
     # Stage 1: qkv projection
     # =====================================================================
-    xn = llama.rms_norm(h_ref[:], anorm_ref[l_id], c.rms_norm_eps)
+    xn = llama.rms_norm(h_ref[:], anorm_ref[l_id, 0], c.rms_norm_eps)
     sx = quantize_act(xn, H)
     for seq in range(nq):
         waitA(seq, l_id)
@@ -330,20 +339,24 @@ def _kernel(
         qkv_ref[:, pl.ds(seq * NC, NC)] = out.astype(dtype)
         kick(seq)
 
-    # ---- current-token K/V quantization + cache write -------------------
+    # ---- current-token K/V quantization (returned for the XLA commit) ---
     q_dim = nh * hd
     kv_new = qkv_ref[:, q_dim:q_dim + kv_dim]              # [b, kv_dim]
     vv_new = qkv_ref[:, q_dim + kv_dim:]
     if not rope:
         # post-RoPE cache mode: rotate K at its absolute position BEFORE
-        # quantizing (model._serving_layer's kv_cache_rope == "post")
-        kh = kv_new.reshape(b, kvh, hd)
-        kc = qcos_ref[:][:, None, :].astype(kh.dtype)      # [b, 1, h2]
-        ks_ = qsin_ref[:][:, None, :].astype(kh.dtype)
-        k1_, k2_ = kh[..., :h2], kh[..., h2:]
-        kv_new = jnp.concatenate(
-            [k1_ * kc - k2_ * ks_, k2_ * kc + k1_ * ks_], axis=-1
-        ).reshape(b, kv_dim)
+        # quantizing (model._serving_layer's kv_cache_rope == "post");
+        # per-head 2-D slices — lane-splitting vector reshapes don't lower
+        kc2 = qcos_ref[:].astype(kv_new.dtype)             # [b, h2]
+        ks2 = qsin_ref[:].astype(kv_new.dtype)
+        parts = []
+        for hh in range(kvh):
+            kh2 = kv_new[:, hh * hd:(hh + 1) * hd]
+            k1_, k2_ = kh2[:, :h2], kh2[:, h2:]
+            parts.append(jnp.concatenate(
+                [k1_ * kc2 - k2_ * ks2, k2_ * kc2 + k1_ * ks2], axis=-1
+            ))
+        kv_new = jnp.concatenate(parts, axis=-1)
     kf = kv_new.astype(jnp.float32)
     vf = vv_new.astype(jnp.float32)
     ks_s = kv_qmax / (jnp.max(jnp.abs(kf), axis=-1, keepdims=True) + _EPS)
@@ -352,35 +365,29 @@ def _kernel(
     v_int = jnp.round(vf * vs_s).astype(jnp.int8)
     k_inv = 1.0 / (ks_s + _EPS)                            # [b, 1]
     v_inv = 1.0 / (vs_s + _EPS)
-    # staging layouts: K transposed [kvh, hd, 1]; V [kvh, 1, hd]
-    kst_ref[:] = k_int.reshape(b, kvh, hd)[..., None]
-    vst_ref[:] = v_int.reshape(b, kvh, hd)[:, :, None, :]
-    kss_ref[:] = k_inv
-    vss_ref[:] = v_inv
-    for i in range(b):
-        wp = jnp.where(act_ref[i] != 0, lens_ref[i], S - 1)
-        pltpu.make_async_copy(
-            kst_ref.at[i], kq_out.at[l_id, i, :, :, pl.ds(wp, 1)],
-            semwr.at[i, 0],
-        ).start()
-        pltpu.make_async_copy(
-            kss_ref.at[i], ks_out.at[l_id, i, pl.ds(wp, 1)], semwr.at[i, 1]
-        ).start()
-        pltpu.make_async_copy(
-            vst_ref.at[i], vq_out.at[l_id, i, :, pl.ds(wp, 1), :],
-            semwr.at[i, 2],
-        ).start()
-        pltpu.make_async_copy(
-            vss_ref.at[i], vs_out.at[l_id, i, pl.ds(wp, 1)], semwr.at[i, 3]
-        ).start()
+    kint_ref[0] = k_int
+    vint_ref[0] = v_int
+    kinv_ref[0] = k_inv
+    vinv_ref[0] = v_inv
 
-    # ---- query RoPE ------------------------------------------------------
-    qv = qkv_ref[:, 0:q_dim].reshape(b, kvh, groups, hd)
-    qc = qcos_ref[:][:, None, None, :].astype(dtype)       # [b,1,1,h2]
-    qs = qsin_ref[:][:, None, None, :].astype(dtype)
-    q1, q2 = qv[..., :h2], qv[..., h2:]
-    qrot = jnp.concatenate([q1 * qc - q2 * qs, q2 * qc + q1 * qs], axis=-1)
-    qrot_ref[:] = qrot.astype(ct).astype(jnp.float32)
+    # ---- query RoPE (per-head 2-D, then head-major scatter) -------------
+    qc2 = qcos_ref[:].astype(dtype)                        # [b, h2]
+    qs2 = qsin_ref[:].astype(dtype)
+    for hh in range(kvh):
+        for g in range(groups):
+            base = (hh * groups + g) * hd
+            qv2 = qkv_ref[:, base:base + hd]               # [b, hd]
+            q1, q2 = qv2[:, :h2], qv2[:, h2:]
+            qr = jnp.concatenate(
+                [q1 * qc2 - q2 * qs2, q2 * qc2 + q1 * qs2], axis=-1
+            )
+            qrot_ref[:, base:base + hd] = qr.astype(ct).astype(jnp.float32)
+    # [1, hd] slices need no reshape on either side
+    for i in range(b):
+        for hh in range(kvh):
+            for g in range(groups):
+                base = (hh * groups + g) * hd
+                q4_ref[i, hh, g:g + 1, :] = qrot_ref[i:i + 1, base:base + hd]
 
     # =====================================================================
     # Stage 2: attention over the streamed int8 cache (online softmax)
@@ -394,8 +401,8 @@ def _kernel(
         att_wait(kb_idx, slot)
         start = kb_idx * BK
         if rope:
-            cos = kcos_ref[:, pl.ds(start, BK)]
-            sin = ksin_ref[:, pl.ds(start, BK)]
+            cos = kcos_ref[kb_idx]                         # [hd/2, BK]
+            sin = ksin_ref[kb_idx]
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, BK), 1)
         for i in range(b):
             # a block past slot i's length contributes nothing — skipping it
@@ -403,8 +410,8 @@ def _kernel(
             # masked blocks (mirrors the scan kernel's n_valid grid clamp)
             @pl.when(start < lens[i])
             def _(i=i):
-                ksl = ksb_ref[slot, i][None, :]            # [1, BK] inv scl
-                vsl = vsb_ref[slot, i][:, None]            # [BK, 1]
+                ksl = ksb_ref[slot, i]                     # [1, BK] inv scl
+                vsl = vsb_ref[slot, i]                     # [1, BK]
                 valid = col < lens[i]
                 if rope:
                     cc = (cos * ksl).astype(ct)            # [h2, BK]
@@ -419,7 +426,7 @@ def _kernel(
                         )
                     else:
                         kr = kq_ih.astype(ct) * ksl.astype(ct)
-                    q_ih = qrot_ref[i, hh].astype(ct)      # [groups, hd]
+                    q_ih = q4_ref[i, hh].astype(ct)        # [groups, hd]
                     s = jax.lax.dot_general(
                         q_ih, kr, (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
@@ -435,13 +442,14 @@ def _kernel(
                     l_ref[i, hh] = l_prev * alpha + jnp.sum(
                         p, axis=-1, keepdims=True
                     )
-                    v_ih = (
-                        vbuf_ref[slot, i, hh].astype(ct)
-                        * vsl.astype(ct)
-                    )                                      # [BK, hd]
+                    # V streams transposed ([hd, BK], K's layout); fold
+                    # the inverse scale into p and contract over BK with a
+                    # transposed-rhs dot
+                    pv = (p * vsl).astype(ct)              # [groups, BK]
+                    v_ih = vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
                     acc_ref[i, hh] = (
                         acc_ref[i, hh] * alpha + jax.lax.dot_general(
-                            p.astype(ct), v_ih, (((1,), (0,)), ((), ())),
+                            pv, v_ih, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
                     )
@@ -454,43 +462,53 @@ def _kernel(
 
     # ---- fold the current token as a final online-softmax pair ----------
     # (active slots only — inactive slots don't advance, matching the scan
-    # path where new_len stays at seq_lens)
-    if rope:
-        ccur = (qcos_ref[:] * k_inv).astype(ct)            # [b, h2] — table
-        scur = (qsin_ref[:] * k_inv).astype(ct)            # cos at pos len
-        ki = k_int.reshape(b, kvh, hd)
-        k1 = ki[..., :h2].astype(ct)
-        k2 = ki[..., h2:].astype(ct)
-        cb = ccur[:, None, :]
-        sb = scur[:, None, :]
-        k_fold = jnp.concatenate(
-            [k1 * cb - k2 * sb, k2 * cb + k1 * sb], axis=-1
-        ).astype(jnp.float32)                              # [b, kvh, hd]
-    else:
-        k_fold = (
-            k_int.reshape(b, kvh, hd).astype(ct)
-            * k_inv[:, :, None].astype(ct)
-        ).astype(jnp.float32)
-    v_fold = (
-        v_int.reshape(b, kvh, hd).astype(ct)
-        * v_inv[:, :, None].astype(ct)
-    ).astype(jnp.float32)                                  # [b, kvh, hd]
-    qf = qrot_ref[:]                                       # [b,kvh,g,hd] f32
-    s_cur = jnp.sum(qf * k_fold[:, :, None, :], axis=-1, keepdims=True)
-    s_cur = s_cur * scale
-    active_col = (actv_ref[:] > 0.5).reshape(b, 1, 1, 1)
-    s_cur = jnp.where(active_col, s_cur, _NEG_INF)
-    m_prev = m_ref[:]
-    l_prev = l_ref[:]
-    m_new = jnp.maximum(m_prev, s_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    # zero (not exp(-inf - -inf) = 1) where the fold is inactive — the
-    # token doesn't exist for that slot
-    p = jnp.where(active_col, jnp.exp(s_cur - m_new), 0.0)
-    l_new = l_prev * alpha + p
-    acc = acc_ref[:] * alpha + p * v_fold[:, :, None, :]
-    o = acc / jnp.maximum(l_new, 1e-9)
-    attn_ref[:] = o.reshape(b, nh * hd).astype(dtype)
+    # path where new_len stays at seq_lens). Per-(slot, head) 2-D math.
+    for i in range(b):
+        act_i = act_ref[i] != 0
+        kinv_i = k_inv[i:i + 1]                            # [1, 1] f32
+        vinv_i = v_inv[i:i + 1].astype(ct)
+        if rope:
+            # table cos/sin at the slot's position == qcos/qsin; fold the
+            # inverse scale in like the streaming loop does
+            cc_i = (qcos_ref[i:i + 1] * kinv_i).astype(ct)  # [1, h2]
+            ss_i = (qsin_ref[i:i + 1] * kinv_i).astype(ct)
+        for hh in range(kvh):
+            kih = k_int[i:i + 1, hh * hd:(hh + 1) * hd]    # [1, hd] int8
+            if rope:
+                k1 = kih[:, :h2].astype(ct)
+                k2 = kih[:, h2:].astype(ct)
+                k_fold = jnp.concatenate(
+                    [k1 * cc_i - k2 * ss_i, k2 * cc_i + k1 * ss_i], axis=-1
+                ).astype(jnp.float32)                      # [1, hd]
+            else:
+                k_fold = (kih.astype(ct) * kinv_i.astype(ct)).astype(
+                    jnp.float32
+                )
+            v_fold = (
+                v_int[i:i + 1, hh * hd:(hh + 1) * hd].astype(ct) * vinv_i
+            ).astype(jnp.float32)                          # [1, hd]
+            qf = q4_ref[i, hh]                             # [groups, hd] f32
+            s_cur = jax.lax.dot_general(
+                qf, k_fold, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                                      # [groups, 1]
+            s_cur = jnp.where(act_i, s_cur, _NEG_INF)
+            m_prev = m_ref[i, hh]
+            l_prev = l_ref[i, hh]
+            m_new = jnp.maximum(m_prev, s_cur)
+            alpha = jnp.exp(m_prev - m_new)
+            # zero (not exp(-inf - -inf) = 1) where the fold is inactive —
+            # the token doesn't exist for that slot
+            p = jnp.where(act_i, jnp.exp(s_cur - m_new), 0.0)
+            l_new = jnp.maximum(l_prev * alpha + p, 1e-9)
+            acc = acc_ref[i, hh] * alpha + jax.lax.dot_general(
+                p, v_fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ih = (acc / l_new).astype(dtype)             # [groups, hd]
+            for g in range(groups):
+                base = (hh * groups + g) * hd
+                attn_ref[i:i + 1, base:base + hd] = o_ih[g:g + 1, :]
 
     # =====================================================================
     # Stage 3: o projection (+ residual)
@@ -509,7 +527,7 @@ def _kernel(
     # =====================================================================
     # Stage 4: gate/up projection
     # =====================================================================
-    xn2 = llama.rms_norm(h_ref[:], mnorm_ref[l_id], c.rms_norm_eps)
+    xn2 = llama.rms_norm(h_ref[:], mnorm_ref[l_id, 0], c.rms_norm_eps)
     sx = quantize_act(xn2, H)
     for j in range(ngu):
         seq = nq + no + j
@@ -524,7 +542,12 @@ def _kernel(
     # =====================================================================
     gate = gu_ref[:, 0:I]
     up = gu_ref[:, I:]
-    actv = jax.nn.silu(gate) * up                          # [b, I] dtype
+    # silu in f32 then cast: Mosaic miscompiles the bf16 sigmoid's scalar
+    # broadcast; the activation is quantized right after, so the extra
+    # precision is free
+    actv = (
+        jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)
+    ).astype(dtype)                                        # [b, I]
     sx = quantize_act(actv, I)
     for j in range(nB):
         waitB(j, l_id)
@@ -538,24 +561,6 @@ def _kernel(
             h_ref[:, pl.ds(j * NC, NC)] + out.astype(dtype)
         )
         kickB(j)
-
-    # drain this layer's cache-write DMAs before the grid step ends
-    for i in range(b):
-        wp = jnp.where(act_ref[i] != 0, lens_ref[i], S - 1)
-        pltpu.make_async_copy(
-            kst_ref.at[i], kq_out.at[l_id, i, :, :, pl.ds(wp, 1)],
-            semwr.at[i, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            kss_ref.at[i], ks_out.at[l_id, i, pl.ds(wp, 1)], semwr.at[i, 1]
-        ).wait()
-        pltpu.make_async_copy(
-            vst_ref.at[i], vq_out.at[l_id, i, :, pl.ds(wp, 1), :],
-            semwr.at[i, 2],
-        ).wait()
-        pltpu.make_async_copy(
-            vss_ref.at[i], vs_out.at[l_id, i, pl.ds(wp, 1)], semwr.at[i, 3]
-        ).wait()
 
     y_ref[:] = h_ref[:]
 
@@ -578,7 +583,8 @@ def decode_step(
     L, _, kvh, hd, S = k_q.shape
     H = c.hidden_size
     I = c.intermediate_size
-    Dq = H + 2 * kvh * hd
+    kv_dim = kvh * hd
+    Dq = H + 2 * kv_dim
     NC = _pick_nc(c)
     BK = _pick_bk(S)
     BM = max(32, -(-b // 8) * 8)
@@ -591,8 +597,15 @@ def decode_step(
     qsin = qsin[:, 0, : hd // 2]
     cache_pos = jnp.arange(S, dtype=jnp.int32)[None]
     kcos, ksin = llama.rope_cos_sin(cache_pos, hd, c.rope_theta)
-    kcos_t = kcos[0, :, : hd // 2].T                       # [hd/2, S]
-    ksin_t = ksin[0, :, : hd // 2].T
+    # chunked-by-block layout [S//BK, hd/2, BK]: the kernel indexes the
+    # leading dim with the (dynamic) block id — Mosaic only allows dynamic
+    # indices on untiled leading dims
+    kcos_t = jnp.moveaxis(
+        kcos[0, :, : hd // 2].T.reshape(hd // 2, S // BK, BK), 1, 0
+    )
+    ksin_t = jnp.moveaxis(
+        ksin[0, :, : hd // 2].T.reshape(hd // 2, S // BK, BK), 1, 0
+    )
 
     lay = qparams["layers"]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -602,7 +615,6 @@ def decode_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # x
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qcos
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qsin
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # actv
             pl.BlockSpec(memory_space=pltpu.VMEM),   # kcos
             pl.BlockSpec(memory_space=pltpu.VMEM),   # ksin
             pl.BlockSpec(memory_space=pltpu.VMEM),   # qkv_s
@@ -611,21 +623,21 @@ def decode_step(
             pl.BlockSpec(memory_space=pltpu.VMEM),   # dn_s
             pl.BlockSpec(memory_space=pltpu.VMEM),   # anorm
             pl.BlockSpec(memory_space=pltpu.VMEM),   # mnorm
-            pl.BlockSpec(memory_space=pl.ANY),    # qkv_w
-            pl.BlockSpec(memory_space=pl.ANY),    # o_w
-            pl.BlockSpec(memory_space=pl.ANY),    # gu_w
-            pl.BlockSpec(memory_space=pl.ANY),    # dn_w
-            pl.BlockSpec(memory_space=pl.ANY),    # k_q
-            pl.BlockSpec(memory_space=pl.ANY),    # k_s
-            pl.BlockSpec(memory_space=pl.ANY),    # v_q
-            pl.BlockSpec(memory_space=pl.ANY),    # v_s
+            pl.BlockSpec(memory_space=pl.ANY),       # qkv_w
+            pl.BlockSpec(memory_space=pl.ANY),       # o_w
+            pl.BlockSpec(memory_space=pl.ANY),       # gu_w
+            pl.BlockSpec(memory_space=pl.ANY),       # dn_w
+            pl.BlockSpec(memory_space=pl.ANY),       # k_q
+            pl.BlockSpec(memory_space=pl.ANY),       # k_s
+            pl.BlockSpec(memory_space=pl.ANY),       # v_q
+            pl.BlockSpec(memory_space=pl.ANY),       # v_s
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),    # k_q
-            pl.BlockSpec(memory_space=pl.ANY),    # k_s
-            pl.BlockSpec(memory_space=pl.ANY),    # v_q
-            pl.BlockSpec(memory_space=pl.ANY),    # v_s
             pl.BlockSpec(memory_space=pltpu.VMEM),   # y
+            pl.BlockSpec((1, b, kv_dim), lambda l, *_: (l, 0, 0)),  # k ints
+            pl.BlockSpec((1, b, kv_dim), lambda l, *_: (l, 0, 0)),  # v ints
+            pl.BlockSpec((1, b, 1), lambda l, *_: (l, 0, 0)),       # k inv
+            pl.BlockSpec((1, b, 1), lambda l, *_: (l, 0, 0)),       # v inv
         ],
         scratch_shapes=[
             pltpu.VMEM((b, H), dtype),               # h
@@ -633,28 +645,25 @@ def decode_step(
             pltpu.VMEM((b, Dq), dtype),              # qkv
             pltpu.VMEM((b, H), dtype),               # attn
             pltpu.VMEM((b, 2 * I), dtype),           # gu
-            pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
+            pltpu.VMEM((b, c.num_attention_heads * hd),
                        jnp.float32),                 # qrot
+            pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
+                       jnp.float32),                 # q4
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, 1),
                        jnp.float32),                 # m
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, 1),
                        jnp.float32),                 # l
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
                        jnp.float32),                 # acc
-            pltpu.VMEM((b, kvh, hd, 1), jnp.int8),   # kst
-            pltpu.VMEM((b, kvh, 1, hd), jnp.int8),   # vst
-            pltpu.VMEM((b, 1), jnp.float32),         # kss
-            pltpu.VMEM((b, 1), jnp.float32),         # vss
             pltpu.VMEM((2, H, NC), jnp.int8),        # wA
             pltpu.VMEM((2, I, NC), jnp.int8),        # wB
             pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # kbuf
-            pltpu.VMEM((2, b, BK), jnp.float32),         # ksb
-            pltpu.VMEM((2, b, kvh, BK, hd), jnp.int8),   # vbuf
-            pltpu.VMEM((2, b, BK), jnp.float32),         # vsb
+            pltpu.VMEM((2, b, 1, BK), jnp.float32),      # ksb
+            pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # vbuf
+            pltpu.VMEM((2, b, 1, BK), jnp.float32),      # vsb
             pltpu.SemaphoreType.DMA((2,)),           # semA
             pltpu.SemaphoreType.DMA((2,)),           # semB
             pltpu.SemaphoreType.DMA((2, 4)),         # sematt
-            pltpu.SemaphoreType.DMA((b, 4)),         # semwr
         ],
     )
 
@@ -662,36 +671,55 @@ def decode_step(
         _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, dtype=dtype
     )
     out_shapes = [
-        jax.ShapeDtypeStruct(k_q.shape, k_q.dtype),
-        jax.ShapeDtypeStruct(k_s.shape, k_s.dtype),
-        jax.ShapeDtypeStruct(v_q.shape, v_q.dtype),
-        jax.ShapeDtypeStruct(v_s.shape, v_s.dtype),
         jax.ShapeDtypeStruct((b, H), dtype),
+        jax.ShapeDtypeStruct((L, b, kv_dim), jnp.int8),
+        jax.ShapeDtypeStruct((L, b, kv_dim), jnp.int8),
+        jax.ShapeDtypeStruct((L, b, 1), jnp.float32),
+        jax.ShapeDtypeStruct((L, b, 1), jnp.float32),
     ]
-    # operand order: 2 scalar-prefetch + 19 tensors; cache operands are
-    # inputs 17..20 in the FULL operand numbering (scalars included) and
-    # alias outputs 0..3
-    n_scalar = 2
-    n_lead = 16  # x..dn_w tensor inputs before the cache block
-    aliases = {n_scalar + n_lead + i: i for i in range(4)}
-
-    k_q2, k_s2, v_q2, v_s2, y = pl.pallas_call(
+    y, k_ints, v_ints, k_invs, v_invs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            has_side_effects=True,
         ),
         interpret=_interpret(),
     )(
         seq_lens.astype(jnp.int32), active.astype(jnp.int32),
-        h, qcos, qsin, active.astype(jnp.float32)[:, None], kcos_t, ksin_t,
+        h, qcos, qsin, kcos_t, ksin_t,
         lay["qkv"]["s"], lay["o"]["s"], lay["gateup"]["s"], lay["down"]["s"],
-        jnp.asarray(lay["attn_norm"]), jnp.asarray(lay["mlp_norm"]),
+        jnp.asarray(lay["attn_norm"])[:, None, :],
+        jnp.asarray(lay["mlp_norm"])[:, None, :],
         lay["qkv"]["q"], lay["o"]["q"], lay["gateup"]["q"], lay["down"]["q"],
-        k_q, k_s, v_q, v_s,
+        k_q, k_s[:, :, None, :], v_q.swapaxes(3, 4), v_s[:, :, None, :],
+    )
+
+    # ---- commit the new K/V columns (one small in-place write per step) -
+    write_pos = jnp.where(active, seq_lens, S - 1).astype(jnp.int32)
+    kq_cols = k_ints.reshape(L, b, kvh, hd, 1)
+    vq_rows = v_ints.reshape(L, b, kvh, 1, hd)
+
+    def upd_k(cq, col, wp):
+        return jax.lax.dynamic_update_slice(cq, col, (0, 0, 0, wp))
+
+    def upd_v(cv, row, wp):
+        return jax.lax.dynamic_update_slice(cv, row, (0, 0, wp, 0))
+
+    def upd_s(cs, val, wp):
+        return jax.lax.dynamic_update_slice(cs, val, (0, wp))
+
+    k_q2 = jax.vmap(upd_k, in_axes=(1, 1, 0), out_axes=1)(
+        k_q, kq_cols, write_pos
+    )
+    v_q2 = jax.vmap(upd_v, in_axes=(1, 1, 0), out_axes=1)(
+        v_q, vq_rows, write_pos
+    )
+    k_s2 = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(
+        k_s, k_invs, write_pos
+    )
+    v_s2 = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(
+        v_s, v_invs, write_pos
     )
 
     hf = llama.rms_norm(y[:, None, :], qparams["final_norm"], c.rms_norm_eps)

@@ -19,3 +19,11 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-dominated (every
+# test jits small graphs), so warm CI runs cut wall time ~in half. Keyed on
+# HLO, so code changes invalidate exactly the affected entries.
+_cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_tests")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
