@@ -185,8 +185,13 @@ def quant_linear(
     if "w" in qw:  # unquantized weight
         if not fp_act:
             # training fake-quants activations whenever 2<a_bits<32 — match
-            # it (quantize-dequantize per token) even with fp weights
-            xq, sx = QM.quantize_per_token(x, a_bits)
+            # it (quantize-dequantize per token) even with fp weights; the
+            # per-token scale uses the GLOBAL absmax under TP (pmax) so
+            # sharded quantization is bit-identical to single-device
+            amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+            if reduce_axis is not None:
+                amax = jax.lax.pmax(amax, reduce_axis)
+            xq, sx = QM.quantize_per_token(x, a_bits, amax=amax)
             x = (xq.astype(jnp.float32) / (sx + QM._EPS)).astype(x.dtype)
         out = jnp.matmul(x, qw["w"].astype(x.dtype))
         if reduce_axis is not None:

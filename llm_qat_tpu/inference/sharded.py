@@ -283,8 +283,11 @@ def init_serving_cache_tp(
     axis: str = "tp",
 ) -> Dict[str, jax.Array]:
     """Mesh-sharded serving cache (global shapes identical to the
-    single-device cache)."""
-    cache = M.init_serving_cache(config, batch, max_len)
+    single-device cache, except KV4 nibble packing stays OFF — the TP
+    write/read path keeps the int8 container)."""
+    cache = M.init_serving_cache(
+        config.replace(kv_cache_pack=False), batch, max_len
+    )
     return place(cache, mesh, cache_specs(axis))
 
 

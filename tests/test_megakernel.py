@@ -115,3 +115,26 @@ def test_megakernel_greedy_rollout_matches_scan():
     t_scan = rollout(cfg)
     t_meg = rollout(cfg.replace(use_megakernel=True))
     np.testing.assert_array_equal(t_meg, t_scan)
+
+
+def test_engine_with_megakernel_token_parity():
+    """The continuous-batching engine must produce identical greedy tokens
+    with the megakernel decode path enabled."""
+    from llm_qat_tpu.inference import engine as E
+
+    cfg = CFG_BASE
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    rng = np.random.default_rng(3)
+    prompts = [list(rng.integers(1, cfg.vocab_size, n)) for n in (9, 13)]
+
+    def run(c):
+        eng = E.InferenceEngine(qparams, c, max_batch=2, max_len=64,
+                                dtype=jnp.float32)
+        for p in prompts:
+            eng.submit(p, max_new_tokens=6)
+        return {r.uid: r.output for r in eng.run()}
+
+    want = run(cfg)
+    got = run(cfg.replace(use_megakernel=True))
+    assert got == want

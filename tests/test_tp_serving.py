@@ -38,8 +38,12 @@ def test_tp1_layout_matches_single_device(w_bits):
 @pytest.mark.slow
 def test_tp_forward_matches_single_device(w_bits, kv_bits, tp):
     # kvh must divide by tp: use 4 kv heads
+    # kv_cache_pack off: this test asserts container-int equality against
+    # the TP cache, which keeps the int8 container (packed-vs-unpacked
+    # parity is tests/test_inference.py::test_kv4_packed_cache_...)
     cfg = TINY_TEST.replace(
-        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4
+        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4,
+        kv_cache_pack=False,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     B, L = 2, 32
@@ -131,8 +135,12 @@ def test_tp_paged_forward_matches_single_device(w_bits, kv_bits, tp):
     TP test)."""
     from llm_qat_tpu.inference import paged as PG
 
+    # kv_cache_pack off: this test asserts container-int equality against
+    # the TP cache, which keeps the int8 container (packed-vs-unpacked
+    # parity is tests/test_inference.py::test_kv4_packed_cache_...)
     cfg = TINY_TEST.replace(
-        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4
+        w_bits=w_bits, a_bits=8, kv_bits=kv_bits, num_key_value_heads=4,
+        kv_cache_pack=False,
     )
     pcfg = PG.PagedConfig(page_size=8, n_pages=16, max_pages_per_seq=4)
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
