@@ -79,14 +79,18 @@ def test_pool_too_small_raises():
 
 
 @pytest.mark.slow
-def test_sequence_exceeding_block_table_completes_trimmed():
-    """prompt + max_new beyond the per-seq table capacity: the prompt is
-    trimmed (reference behavior for over-long inputs) and the request still
-    completes within capacity rather than overflowing the table."""
+def test_sequence_exceeding_block_table_rejected():
+    """prompt + max_new beyond the per-seq table capacity is REJECTED at
+    submit (VERDICT round-2 item 8: no silent truncation — a request must
+    never decode from a mid-sentence prefix); a fitting request of the
+    same prompt completes normally."""
     pe = _paged(n_pages=64, max_batch=1)  # max_pages_per_seq=8 * page 8 = 64
-    pe.submit(list(range(1, 30)), max_new_tokens=60)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="does not fit"):
+        pe.submit(list(range(1, 30)), max_new_tokens=60)
+    pe.submit(list(range(1, 30)), max_new_tokens=30)
     done = pe.run()
     assert len(done) == 1
-    assert len(done[0].output) <= 60
+    assert len(done[0].output) == 30
     assert int(pe.lengths[0]) == 0  # slot freed
     assert pe.alloc.available == 63  # all pages returned
