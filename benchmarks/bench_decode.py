@@ -43,6 +43,11 @@ def main() -> None:
         "--megakernel", action="store_true",
         help="whole-model decode megakernel (inference/megakernel.py)",
     )
+    ap.add_argument(
+        "--no_kv_pack", action="store_true",
+        help="keep the int8 KV container at kv_bits<=4 (the megakernel "
+        "requires it; the scan path nibble-packs by default)",
+    )
     args = ap.parse_args()
 
     cfg = TINYLLAMA_1B.replace(
@@ -50,6 +55,7 @@ def main() -> None:
         use_decode_kernel=not args.no_kernel,
         use_unrolled_decode=args.unrolled,
         use_megakernel=args.megakernel,
+        kv_cache_pack=not args.no_kv_pack,
     )
     if args.layers:
         cfg = cfg.replace(num_hidden_layers=args.layers)

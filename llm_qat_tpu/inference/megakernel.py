@@ -63,7 +63,7 @@ def _interpret() -> bool:
 
 def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     c = config
-    if c.w_bits != 8 or not (2 < c.a_bits <= 8):
+    if c.w_bits not in (4, 8) or not (2 < c.a_bits <= 8):
         return False
     if c.kv_cache_pack and c.kv_bits <= 4:
         return False  # nibble-packed cache: scan path handles it
@@ -167,6 +167,7 @@ def _kernel(
     NC: int,
     BK: int,
     rope: bool,    # pre mode: rotate K on read
+    w4: bool,      # int4 split-half packed weights (quant_matmul.pack_int4)
     dtype,
 ):
     c = cfg
@@ -320,11 +321,30 @@ def _kernel(
         return sx
 
     def mm_chunk(K, w, sx, sw):
-        """[BM,K]i8 @ [K,NC]i8 -> f32 [b, NC] with the int8 fixup."""
-        acc = jax.lax.dot_general(
-            xq_ref[:, 0:K], w, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        """[BM,K]i8 @ [K(,/2),NC] int -> f32 [b, NC] with the int8 fixup.
+
+        W4: the packed byte's nibbles are the split-half K rows
+        (quant_matmul.pack_int4) — unpack is two shifts and the contraction
+        is two independent int8 MXU dots over the K halves (integer
+        accumulation is exact, so the K-order change cannot alter
+        results)."""
+        if w4:
+            p = w.astype(jnp.int32)                    # [K/2, NC]
+            wlo = ((p << 28) >> 28).astype(jnp.int8)   # K rows 0..K/2-1
+            whi = ((p << 24) >> 28).astype(jnp.int8)   # K rows K/2..K-1
+            kh = K // 2
+            acc = jax.lax.dot_general(
+                xq_ref[:, 0:kh], wlo, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ) + jax.lax.dot_general(
+                xq_ref[:, kh:K], whi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            acc = jax.lax.dot_general(
+                xq_ref[:, 0:K], w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
         return acc[0:b].astype(jnp.float32) / ((sx + _EPS) * (sw + _EPS))
 
     # =====================================================================
@@ -552,11 +572,7 @@ def _kernel(
     for j in range(nB):
         waitB(j, l_id)
         sw = dn_s_ref[l_id, :, pl.ds(j * NC, NC)]
-        acc = jax.lax.dot_general(
-            xq_ref[:, 0:I], wB_ref[j % 2], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = acc[0:b].astype(jnp.float32) / ((sx + _EPS) * (sw + _EPS))
+        out = mm_chunk(I, wB_ref[j % 2], sx, sw)
         h_ref[:, pl.ds(j * NC, NC)] = (
             h_ref[:, pl.ds(j * NC, NC)] + out.astype(dtype)
         )
@@ -655,8 +671,14 @@ def decode_step(
                        jnp.float32),                 # l
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
                        jnp.float32),                 # acc
-            pltpu.VMEM((2, H, NC), jnp.int8),        # wA
-            pltpu.VMEM((2, I, NC), jnp.int8),        # wB
+            pltpu.VMEM(
+                (2, H // 2 if c.w_bits == 4 else H, NC),
+                jnp.uint8 if c.w_bits == 4 else jnp.int8,
+            ),                                       # wA
+            pltpu.VMEM(
+                (2, I // 2 if c.w_bits == 4 else I, NC),
+                jnp.uint8 if c.w_bits == 4 else jnp.int8,
+            ),                                       # wB
             pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # kbuf
             pltpu.VMEM((2, b, 1, BK), jnp.float32),      # ksb
             pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # vbuf
@@ -667,8 +689,10 @@ def decode_step(
         ],
     )
 
+    w4 = c.w_bits == 4
     kernel = functools.partial(
-        _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, dtype=dtype
+        _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, w4=w4,
+        dtype=dtype,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((b, H), dtype),

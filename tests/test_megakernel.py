@@ -138,3 +138,35 @@ def test_engine_with_megakernel_token_parity():
     want = run(cfg)
     got = run(cfg.replace(use_megakernel=True))
     assert got == want
+
+
+@pytest.mark.parametrize("kv_bits", [8, 4])
+def test_megakernel_w4_matches_scan(kv_bits):
+    """W4 packed weights through the megakernel: split-half in-kernel
+    unpack + two K-half int8 dots must match the scan path exactly (the
+    int32 accumulation is exact, so K-order cannot matter). kv_bits=4
+    runs with kv_cache_pack off (the megakernel keeps the int8 KV
+    container)."""
+    cfg = TINY_TEST.replace(
+        w_bits=4, a_bits=8, kv_bits=kv_bits, kv_cache_pack=False,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [6, 11])
+    tok = jax.random.randint(jax.random.PRNGKey(7), (b, 1), 0, cfg.vocab_size)
+    active = jnp.ones((b,), bool)
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_meg), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+    )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
