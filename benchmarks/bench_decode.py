@@ -40,13 +40,19 @@ def main() -> None:
         help="static-layer-indexed unrolled decode (inference/unrolled.py)",
     )
     ap.add_argument(
-        "--megakernel", action="store_true",
-        help="whole-model decode megakernel (inference/megakernel.py)",
+        "--megakernel", action="store_true", default=True,
+        help="whole-model decode megakernel (inference/megakernel.py) — "
+        "the shipped default since round 4",
+    )
+    ap.add_argument(
+        "--no_megakernel", dest="megakernel", action="store_false",
+        help="force the scan decode path",
     )
     ap.add_argument(
         "--no_kv_pack", action="store_true",
-        help="keep the int8 KV container at kv_bits<=4 (the megakernel "
-        "requires it; the scan path nibble-packs by default)",
+        help="keep the int8 KV container at kv_bits<=4 (every decode path "
+        "including the megakernel streams the packed container since "
+        "round 4; this flag exists to measure the packing win itself)",
     )
     args = ap.parse_args()
 
@@ -97,7 +103,9 @@ def main() -> None:
     kv_dim = c.kv_heads * c.head_dim
     wbytes_layer = H * (H + 2 * kv_dim) + H * H + 2 * H * I + I * H
     wbytes = L * wbytes_layer * (0.5 if args.w == 4 else 1) + V * H * 2  # head bf16
-    kvbytes = L * b * args.fill * 2 * kv_dim  # int8 K+V read per step
+    packed = cfg.kv_cache_pack and cfg.kv_bits <= 4
+    # K+V bytes read per step: int8 container, or half at KV4 nibble-packed
+    kvbytes = L * b * args.fill * 2 * kv_dim * (0.5 if packed else 1)
     sol = (wbytes + kvbytes) / HBM_BYTES_PER_S
 
     print(

@@ -43,6 +43,7 @@ def main() -> None:
     k_q = jax.random.randint(key, (b, kvh, S, hd), -127, 128, jnp.int8)
     k_t = jnp.swapaxes(k_q, 2, 3).copy()     # kernel layout [b, kvh, hd, S]
     v_q = jax.random.randint(key, (b, kvh, S, hd), -127, 128, jnp.int8)
+    v_t = jnp.swapaxes(v_q, 2, 3).copy()     # V shares K's layout (round 4)
     k_s = jax.random.uniform(key, (b, S), jnp.float32, 0.005, 0.02)
     v_s = jax.random.uniform(key, (b, S), jnp.float32, 0.005, 0.02)
     lengths = jnp.full((b,), args.fill, jnp.int32)
@@ -57,7 +58,7 @@ def main() -> None:
         lambda q, kq, ks, vq, vs: DA.quantized_decode_attention(
             q, kq, ks, vq, vs, lengths, kc, ksn, bk=args.bk
         ),
-        (q, k_t, k_s, v_q, v_s),
+        (q, k_t, k_s, v_t, v_s),
         iters=args.iters,
         floor=floor,
     )
@@ -65,7 +66,7 @@ def main() -> None:
         lambda q, kq, ks, vq, vs: DA.quantized_decode_attention(
             q, kq, ks, vq, vs, lengths, bk=args.bk, rope=False
         ),
-        (q, k_t, k_s, v_q, v_s),
+        (q, k_t, k_s, v_t, v_s),
         iters=args.iters,
         floor=floor,
     )

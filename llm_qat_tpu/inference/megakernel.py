@@ -22,10 +22,16 @@ op for op:
     and the caller commits them with vmapped dynamic_update_slice into the
     cache (one small write per step — per-slot column DMAs from inside
     the kernel don't meet Mosaic's DMA tiling rules);
-  * attention = decode_attention's online softmax over the streamed int8
-    cache (K in BK-column chunks off its transposed layout, V as one
-    per-layer plane — its [.., S, hd] layout cannot be column-sliced by
-    the DMA engine), current token folded as a final pair (active slots);
+  * attention = decode_attention's online softmax over the streamed int
+    cache (K AND V in BK-column chunks off the shared transposed
+    [.., hd, S] layout — round 4 flipped V to match K, which deleted the
+    per-step XLA V-transpose copy of the whole cache the kernel used to
+    pay, ~92 MB/step at the flagship shape), current token folded as a
+    final pair (active slots);
+  * KV4 nibble-packed caches (model.cache_is_packed) stream packed: the
+    byte's nibbles are the split-half hd rows — exactly the two halves
+    RoPE's rotate-half wants — so unpack is two shifts fused into the
+    dequant, and cache DMA bytes halve;
   * residual stream carried in VMEM scratch across the grid, fp32-accum
     RMSNorm, hoisted RoPE tables.
 
@@ -36,7 +42,8 @@ mismatched sublane offsets, no dynamic/odd sublane indices — everything is
 operand layouts ([L, 1, H] norms, [L, b, 1, S] scales, [nb, hd/2, BK]
 tables).
 
-Supported: w_bits == 8, 2<a_bits<=8, unpacked int8 KV cache, b <= 32,
+Supported: w_bits in {4, 8} (int4 weights stream packed and unpack
+in-kernel), 2<a_bits<=8, int8 or KV4 nibble-packed caches, b <= 32,
 NC | {Dq, H, 2I}, BK | S. Other configs fall back to the scan path.
 """
 
@@ -65,8 +72,6 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     c = config
     if c.w_bits not in (4, 8) or not (2 < c.a_bits <= 8):
         return False
-    if c.kv_cache_pack and c.kv_bits <= 4:
-        return False  # nibble-packed cache: scan path handles it
     if b > 32:
         return False
     nc = _pick_nc(c)
@@ -128,12 +133,12 @@ def _kernel(
     o_w_ref,      # [L, H, H] int8
     gu_w_ref,     # [L, H, 2I] int8
     dn_w_ref,     # [L, I, H] int8
-    kq_hbm,       # [L, b, kvh, hd, S] int8 (read-only)
+    kq_hbm,       # [L, b, kvh, hd(/2), S] int8/uint8 (read-only)
     ks_hbm,       # [L, b, 1, S] f32
-    vq_hbm,       # [L, b, kvh, hd, S] int8 — V TRANSPOSED to K's layout
-                  # (the [.., S, hd] cache layout lane-pads hd to 128 in
-                  # HBM, so the DMA engine cannot slice it; the caller
-                  # passes swapaxes(3, 4) and XLA materializes the copy)
+    vq_hbm,       # [L, b, kvh, hd(/2), S] int8/uint8 — V shares K's
+                  # transposed layout (round 4), so both stream by plain
+                  # column-slice DMA; /2 extents are the KV4 nibble-packed
+                  # container (kv_pack)
     vs_hbm,       # [L, b, 1, S] f32
     # outputs
     y_ref,        # [b, H] dtype — final hidden (pre-final-norm)
@@ -155,9 +160,9 @@ def _kernel(
     acc_ref,      # [b, kvh, groups, hd] f32
     wA_ref,       # [2, H, NC] int8
     wB_ref,       # [2, I, NC] int8
-    kbuf_ref,     # [2, b, kvh, hd, BK] int8
+    kbuf_ref,     # [2, b, kvh, hd(/2), BK] int8/uint8
     ksb_ref,      # [2, b, 1, BK] f32
-    vbuf_ref,     # [2, b, kvh, hd, BK] int8 (transposed V chunks)
+    vbuf_ref,     # [2, b, kvh, hd(/2), BK] int8/uint8 (transposed V chunks)
     vsb_ref,      # [2, b, 1, BK] f32
     semA, semB, sematt,
     *,
@@ -168,6 +173,7 @@ def _kernel(
     BK: int,
     rope: bool,    # pre mode: rotate K on read
     w4: bool,      # int4 split-half packed weights (quant_matmul.pack_int4)
+    kv_pack: bool,  # KV4 nibble-packed cache: hd split-half per byte
     dtype,
 ):
     c = cfg
@@ -437,15 +443,23 @@ def _kernel(
                     cc = (cos * ksl).astype(ct)            # [h2, BK]
                     ss = (sin * ksl).astype(ct)
                 for hh in range(kvh):
-                    kq_ih = kbuf_ref[slot, i, hh]          # [hd, BK] int8
-                    if rope:
+                    kq_ih = kbuf_ref[slot, i, hh]          # [hd(/2), BK] int
+                    if kv_pack:
+                        # the byte's nibbles are the split-half hd rows —
+                        # exactly the k1/k2 halves rotate-half wants
+                        pi = kq_ih.astype(jnp.int32)
+                        k1 = ((pi << 28) >> 28).astype(ct)  # rows 0..h2-1
+                        k2 = ((pi << 24) >> 28).astype(ct)  # rows h2..hd-1
+                    else:
                         k1 = kq_ih[0:h2].astype(ct)
                         k2 = kq_ih[h2:hd].astype(ct)
+                    if rope:
                         kr = jnp.concatenate(
                             [k1 * cc - k2 * ss, k2 * cc + k1 * ss], axis=0
                         )
                     else:
-                        kr = kq_ih.astype(ct) * ksl.astype(ct)
+                        sl = ksl.astype(ct)
+                        kr = jnp.concatenate([k1 * sl, k2 * sl], axis=0)
                     q_ih = q4_ref[i, hh].astype(ct)        # [groups, hd]
                     s = jax.lax.dot_general(
                         q_ih, kr, (((1,), (0,)), ((), ())),
@@ -466,7 +480,17 @@ def _kernel(
                     # the inverse scale into p and contract over BK with a
                     # transposed-rhs dot
                     pv = (p * vsl).astype(ct)              # [groups, BK]
-                    v_ih = vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
+                    if kv_pack:
+                        vp = vbuf_ref[slot, i, hh].astype(jnp.int32)
+                        v_ih = jnp.concatenate(
+                            [
+                                ((vp << 28) >> 28).astype(ct),
+                                ((vp << 24) >> 28).astype(ct),
+                            ],
+                            axis=0,
+                        )                                  # [hd, BK]
+                    else:
+                        v_ih = vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
                     acc_ref[i, hh] = (
                         acc_ref[i, hh] * alpha + jax.lax.dot_general(
                             pv, v_ih, (((1,), (1,)), ((), ())),
@@ -596,7 +620,13 @@ def decode_step(
     b, s = input_ids.shape
     assert s == 1, input_ids.shape
     k_q, k_s, v_q, v_s = cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"]
-    L, _, kvh, hd, S = k_q.shape
+    L, _, kvh = k_q.shape[:3]
+    S = k_q.shape[-1]
+    hd = c.head_dim
+    kv_pack = bool(c.kv_cache_pack) and c.kv_bits <= 4  # model.cache_is_packed
+    assert k_q.shape[3] == (hd // 2 if kv_pack else hd), (k_q.shape, kv_pack)
+    assert v_q.shape == k_q.shape, ("V shares K's transposed layout",
+                                    v_q.shape, k_q.shape)
     H = c.hidden_size
     I = c.intermediate_size
     kv_dim = kvh * hd
@@ -679,9 +709,15 @@ def decode_step(
                 (2, I // 2 if c.w_bits == 4 else I, NC),
                 jnp.uint8 if c.w_bits == 4 else jnp.int8,
             ),                                       # wB
-            pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # kbuf
+            pltpu.VMEM(
+                (2, b, kvh, hd // 2 if kv_pack else hd, BK),
+                jnp.uint8 if kv_pack else jnp.int8,
+            ),                                       # kbuf
             pltpu.VMEM((2, b, 1, BK), jnp.float32),      # ksb
-            pltpu.VMEM((2, b, kvh, hd, BK), jnp.int8),   # vbuf
+            pltpu.VMEM(
+                (2, b, kvh, hd // 2 if kv_pack else hd, BK),
+                jnp.uint8 if kv_pack else jnp.int8,
+            ),                                       # vbuf
             pltpu.VMEM((2, b, 1, BK), jnp.float32),      # vsb
             pltpu.SemaphoreType.DMA((2,)),           # semA
             pltpu.SemaphoreType.DMA((2,)),           # semB
@@ -692,7 +728,7 @@ def decode_step(
     w4 = c.w_bits == 4
     kernel = functools.partial(
         _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, w4=w4,
-        dtype=dtype,
+        kv_pack=kv_pack, dtype=dtype,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((b, H), dtype),
@@ -716,19 +752,21 @@ def decode_step(
         jnp.asarray(lay["attn_norm"])[:, None, :],
         jnp.asarray(lay["mlp_norm"])[:, None, :],
         lay["qkv"]["q"], lay["o"]["q"], lay["gateup"]["q"], lay["down"]["q"],
-        k_q, k_s[:, :, None, :], v_q.swapaxes(3, 4), v_s[:, :, None, :],
+        k_q, k_s[:, :, None, :], v_q, v_s[:, :, None, :],
     )
 
     # ---- commit the new K/V columns (one small in-place write per step) -
     write_pos = jnp.where(active, seq_lens, S - 1).astype(jnp.int32)
     kq_cols = k_ints.reshape(L, b, kvh, hd, 1)
-    vq_rows = v_ints.reshape(L, b, kvh, 1, hd)
+    vq_cols = v_ints.reshape(L, b, kvh, hd, 1)
+    if kv_pack:
+        from llm_qat_tpu.inference.model import _pack_nibbles
+
+        kq_cols = _pack_nibbles(kq_cols, axis=3)   # [L, b, kvh, hd/2, 1]
+        vq_cols = _pack_nibbles(vq_cols, axis=3)
 
     def upd_k(cq, col, wp):
         return jax.lax.dynamic_update_slice(cq, col, (0, 0, 0, wp))
-
-    def upd_v(cv, row, wp):
-        return jax.lax.dynamic_update_slice(cv, row, (0, 0, wp, 0))
 
     def upd_s(cs, val, wp):
         return jax.lax.dynamic_update_slice(cs, val, (0, wp))
@@ -736,8 +774,8 @@ def decode_step(
     k_q2 = jax.vmap(upd_k, in_axes=(1, 1, 0), out_axes=1)(
         k_q, kq_cols, write_pos
     )
-    v_q2 = jax.vmap(upd_v, in_axes=(1, 1, 0), out_axes=1)(
-        v_q, vq_rows, write_pos
+    v_q2 = jax.vmap(upd_k, in_axes=(1, 1, 0), out_axes=1)(
+        v_q, vq_cols, write_pos
     )
     k_s2 = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(
         k_s, k_invs, write_pos

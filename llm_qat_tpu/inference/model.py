@@ -9,10 +9,12 @@ Mirrors the numerics of the training model (models/llama.py) exactly:
     (ops/pallas/quant_matmul.py) with per-channel scales;
   * fp32 softmax, RMSNorm, unquantized lm_head as in training.
 
-Cache layout is head-major — ``[L, b, kvh, S, hd]`` int8 + per-token f32
-inverse scales ``[L, b, S]`` — so the fused decode-attention kernel
-(ops/pallas/decode_attention.py) streams contiguous per-head blocks straight
-from the int8 cache: dequant, RoPE, and online softmax never leave VMEM.
+Cache layout: BOTH K and V are stored transposed — ``[L, b, kvh, hd, S]``
+int8 + per-token f32 inverse scales ``[L, b, S]`` — so the fused
+decode-attention kernels (ops/pallas/decode_attention.py) and the
+whole-model megakernel (inference/megakernel.py) stream length-axis column
+chunks with plain DMA slices: dequant, RoPE, and online softmax never
+leave VMEM, and no path pays an XLA relayout copy of the cache.
 Prefill (s>1) uses the XLA path over the same cache.
 
 Ragged continuous batching: every slot carries its own length; the decode
@@ -40,10 +42,9 @@ def init_serving_cache(
     config: LlamaConfig, batch: int, max_len: int
 ) -> Dict[str, jax.Array]:
     """Head-major int8 KV cache + f32 per-token inverse scales, stacked
-    over layers. K is stored transposed — ``[L, b, kvh, hd, S]`` — so the
-    decode kernel's score contraction is the canonical MXU matmul
-    (ops/pallas/decode_attention.py layout notes); V is ``[L, b, kvh, S,
-    hd]``."""
+    over layers. K AND V are stored transposed — ``[L, b, kvh, hd, S]`` —
+    so the decode kernels stream length-axis column chunks directly
+    (ops/pallas/decode_attention.py layout notes)."""
     # the decode kernel tiles the length axis in multiples of 8 lanes
     # (ops/pallas/decode_attention._pick_bk); an unaligned cache would read
     # uninitialized tail rows and NaN the softmax — fail loudly instead
@@ -54,9 +55,9 @@ def init_serving_cache(
 
 
 def cache_is_packed(config: LlamaConfig) -> bool:
-    """KV4 nibble packing applies to the contiguous single-device cache
-    (config.kv_cache_pack): storage is [.., hd/2, S] / [.., S, hd/2] uint8
-    with the hd halves split-half packed per byte."""
+    """KV4 nibble packing applies to the contiguous cache
+    (config.kv_cache_pack): storage is [.., hd/2, S] uint8 for both K and
+    V, with the hd halves split-half packed per byte."""
     return bool(config.kv_cache_pack) and config.kv_bits <= 4
 
 
@@ -84,7 +85,7 @@ def _empty_cache(
     hd = c.head_dim // 2 if cache_is_packed(c) else c.head_dim
     qdt = jnp.uint8 if cache_is_packed(c) else jnp.int8
     kshape = (c.num_hidden_layers, batch, c.kv_heads, hd, max_len)
-    vshape = (c.num_hidden_layers, batch, c.kv_heads, max_len, hd)
+    vshape = kshape                  # V shares K's transposed layout
     sshape = (c.num_hidden_layers, batch, max_len)
     return {
         "k_q": jnp.zeros(kshape, qdt),
@@ -100,8 +101,8 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
               packed=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and write each slot's rows
     at its own offset into head-major (cache_q [b, kvh, S, hd] — or
-    [b, kvh, hd, S] when ``transposed`` (the K layout) — and cache_s
-    [b, S]). Under tensor parallelism ``new`` holds the local head shard;
+    [b, kvh, hd, S] when ``transposed``, the layout both K and V use since
+    round 4 — and cache_s [b, S]). Under tensor parallelism ``new`` holds the local head shard;
     the per-token scale is computed from the pmax over shards so the
     sharded cache holds exactly the single-device integers.
 
@@ -142,14 +143,6 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
     return cache_q, cache_s
 
 
-def _dequant_head_major(cq, cs, dtype, packed=False):
-    """[b, kvh, S, hd(/2)] int + [b, S] inv scales -> [b, S, kvh, hd]."""
-    if packed:
-        cq = _unpack_nibbles(cq, axis=-1)
-    d = cq.astype(jnp.float32) * cs[:, None, :, None]
-    return d.transpose(0, 2, 1, 3).astype(dtype)
-
-
 def _dequant_transposed(cq, cs, dtype, packed=False):
     """[b, kvh, hd(/2), S] int (transposed K) + [b, S] -> [b, S, kvh, hd]."""
     if packed:
@@ -186,8 +179,11 @@ def _serving_layer(
     )
 
     k_q, k_s, v_q, v_s = kv_layer
-    max_len = v_q.shape[2]
-    packed = cache_is_packed(c) and tp_axis is None
+    max_len = k_q.shape[-1]
+    # KV4 nibble packing composes with TP since round 4: packing is
+    # per-head (split-half along hd), so the shard-local pack of local
+    # heads equals the global pack sliced by head
+    packed = cache_is_packed(c)
     # local head counts come from the (possibly tp-sharded) cache / fused
     # projection shapes; with tp_axis=None these equal the config's counts
     kvh = k_q.shape[1]
@@ -210,11 +206,11 @@ def _serving_layer(
         k = kh.reshape(b, s, kvh * hd)
 
     # quantize new K/V per-token and write ("pre" = training hook point,
-    # pre-RoPE integers, modeling_llama_quant.py:320-333); K transposed
+    # pre-RoPE integers, modeling_llama_quant.py:320-333); both transposed
     k_q, k_s, fq_k = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
                                transposed=True, return_fq=True, packed=packed)
     v_q, v_s, fq_v = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis,
-                               return_fq=True, packed=packed)
+                               transposed=True, return_fq=True, packed=packed)
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
@@ -241,7 +237,7 @@ def _serving_layer(
         # XLA prefill path: dequantize the cache; "pre" mode re-applies
         # RoPE at absolute positions, "post" stored rotated keys already
         kd = _dequant_transposed(k_q, k_s, dtype, packed=packed)
-        vd = _dequant_head_major(v_q, v_s, dtype, packed=packed)
+        vd = _dequant_transposed(v_q, v_s, dtype, packed=packed)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_len, dtype=jnp.int32), (b, max_len)
         )
@@ -304,14 +300,8 @@ def _forward(
     b, s = input_ids.shape
     max_len = cache["k_q"].shape[4]  # K is transposed [L, b, kvh, hd, S]
 
-    if s == 1 and c.use_megakernel and tp_axis is None:
-        from llm_qat_tpu.inference import megakernel
-
-        if megakernel.supported(c, b, max_len):
-            return megakernel.decode_step(
-                qparams, c, input_ids, seq_lens, active, cache, dtype
-            )
-
+    # use_unrolled_decode is an explicit opt-in (default off) and takes
+    # precedence over the default-on megakernel so it stays reachable
     if s == 1 and c.use_unrolled_decode and tp_axis is None:
         # static-layer-indexed kernels over the stacked weights/cache — no
         # per-layer HBM slice copies (inference/unrolled.py)
@@ -320,6 +310,14 @@ def _forward(
         return unrolled.decode_step(
             qparams, c, input_ids, seq_lens, active, cache, dtype
         )
+
+    if s == 1 and c.use_megakernel and tp_axis is None:
+        from llm_qat_tpu.inference import megakernel
+
+        if megakernel.supported(c, b, max_len):
+            return megakernel.decode_step(
+                qparams, c, input_ids, seq_lens, active, cache, dtype
+            )
 
     h = jnp.take(qparams["embed"], input_ids, axis=0).astype(dtype)
     positions = seq_lens[:, None] + jnp.arange(s, dtype=jnp.int32)[None, :]

@@ -3,7 +3,7 @@
 North-star serving extension with no reference counterpart: instead of one
 contiguous ``[b, max_len]`` region per slot (inference/model.py), K/V live
 in a global pool of fixed-size **pages** shared by all slots —
-``[L, n_pages, kvh, page_size, hd]`` int8 + per-token inverse scales — and
+``[L, n_pages, kvh, hd, page_size]`` int8 + per-token inverse scales — and
 each slot maps logical positions to pages through a block table. Capacity
 is pooled: total tokens = n_pages x page_size regardless of how they
 distribute over slots, so long and short requests mix without reserving
@@ -48,36 +48,38 @@ class PagedConfig:
 def init_paged_cache(
     config: LlamaConfig, pcfg: PagedConfig
 ) -> Dict[str, jax.Array]:
-    """K pages are stored transposed — ``[L, n_pages, kvh, hd, P]`` — so
-    the paged decode kernel's score contraction is the canonical MXU matmul
-    (ops/pallas/decode_attention.py layout notes); V pages are
-    ``[L, n_pages, kvh, P, hd]``."""
+    """K AND V pages are stored transposed — ``[L, n_pages, kvh, hd, P]``
+    — so the paged decode kernel's score contraction is the canonical MXU
+    matmul and V streams the same way (ops/pallas/decode_attention.py
+    layout notes). With ``config.kv_cache_pack`` and ``kv_bits <= 4`` the
+    pool nibble-packs: ``[.., hd/2, P]`` uint8, split-half along hd (same
+    scheme as the contiguous cache, model.cache_is_packed)."""
+    from llm_qat_tpu.inference import model as M
+
     c = config
+    packed = M.cache_is_packed(c)
+    hd = c.head_dim // 2 if packed else c.head_dim
+    qdt = jnp.uint8 if packed else jnp.int8
     kshape = (
-        c.num_hidden_layers, pcfg.n_pages, c.kv_heads, c.head_dim,
-        pcfg.page_size,
-    )
-    vshape = (
-        c.num_hidden_layers, pcfg.n_pages, c.kv_heads, pcfg.page_size,
-        c.head_dim,
+        c.num_hidden_layers, pcfg.n_pages, c.kv_heads, hd, pcfg.page_size,
     )
     sshape = (c.num_hidden_layers, pcfg.n_pages, pcfg.page_size)
     return {
-        "k_q": jnp.zeros(kshape, jnp.int8),
+        "k_q": jnp.zeros(kshape, qdt),
         "k_s": jnp.ones(sshape, jnp.float32),
-        "v_q": jnp.zeros(vshape, jnp.int8),
+        "v_q": jnp.zeros(kshape, qdt),
         "v_s": jnp.ones(sshape, jnp.float32),
     }
 
 
 def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
-                tp_axis=None, transposed=False, return_fq=False):
+                tp_axis=None, return_fq=False, packed=False):
     """Quantize ``new`` [b, s, kvh*hd] per-token and scatter rows into the
-    head-major pool at (page, offset) — pool [np, kvh, P, hd], or
-    [np, kvh, hd, P] when ``transposed`` (the K layout). Under tensor
-    parallelism ``new`` is the local head shard; the per-token scale comes
-    from the pmax'd global absmax so the sharded pool holds exactly the
-    single-device integers.
+    transposed pool at (page, offset) — pool [np, kvh, hd(/2), P] (K's
+    layout; ``packed`` nibble-packs split-half along hd first). Under
+    tensor parallelism ``new`` is the local head shard; the per-token scale
+    comes from the pmax'd global absmax so the sharded pool holds exactly
+    the single-device integers.
 
     ``return_fq`` additionally returns the fake-quant (int·inv_scale) value
     of ``new`` as ``[b, s, kvh, hd]`` f32 — bit-identical to gathering the
@@ -94,29 +96,30 @@ def _write_pool(pool_q, pool_s, new, pages, offsets, kvh, hd, kv_bits,
     if return_fq:
         fq = (nq.astype(jnp.float32) * inv[..., None]).reshape(b, s, kvh, hd)
     nq = nq.reshape(b * s, kvh, hd)
+    if packed:
+        from llm_qat_tpu.inference.model import _pack_nibbles
+
+        nq = _pack_nibbles(nq, axis=-1)                  # [n, kvh, hd/2]
     pg = pages.reshape(-1)
     of = offsets.reshape(-1)
-    if transposed:
-        pool_q = pool_q.at[pg, :, :, of].set(nq)         # [n, kvh, hd] rows
-    else:
-        pool_q = pool_q.at[pg, :, of].set(nq)
+    pool_q = pool_q.at[pg, :, :, of].set(nq)             # [n, kvh, hd] rows
     pool_s = pool_s.at[pg, of].set(inv.reshape(-1))
     if return_fq:
         return pool_q, pool_s, fq
     return pool_q, pool_s
 
 
-def _gather_dequant(pool_q, pool_s, block_tables, dtype, transposed=False):
-    """Pool + block table -> [b, max_tok, kvh, hd] dequantized (XLA path)."""
+def _gather_dequant(pool_q, pool_s, block_tables, dtype, packed=False):
+    """Transposed pool + block table -> [b, max_tok, kvh, hd] (XLA path)."""
     b, mp = block_tables.shape
-    g = jnp.take(pool_q, block_tables, axis=0)
+    g = jnp.take(pool_q, block_tables, axis=0)           # [b, mp, kvh, hd, P]
     s = jnp.take(pool_s, block_tables, axis=0)           # [b, mp, P]
-    if transposed:                                       # g [b, mp, kvh, hd, P]
-        d = g.astype(jnp.float32) * s[:, :, None, None, :]
-        d = d.transpose(0, 1, 4, 2, 3)                   # [b, mp, P, kvh, hd]
-    else:                                                # g [b, mp, kvh, P, hd]
-        d = g.astype(jnp.float32) * s[:, :, None, :, None]
-        d = d.transpose(0, 1, 3, 2, 4)
+    if packed:
+        from llm_qat_tpu.inference.model import _unpack_nibbles
+
+        g = _unpack_nibbles(g, axis=-2)
+    d = g.astype(jnp.float32) * s[:, :, None, None, :]
+    d = d.transpose(0, 1, 4, 2, 3)                       # [b, mp, P, kvh, hd]
     P = d.shape[2]
     return d.reshape(b, mp * P, *d.shape[3:]).astype(dtype)
 
@@ -153,6 +156,9 @@ def _paged_layer(
     # local head counts come from the (possibly tp-sharded) pool / fused
     # projection shapes; with tp_axis=None these equal the config's counts
     kvh = k_q.shape[1]
+    from llm_qat_tpu.inference.model import cache_is_packed
+
+    packed = cache_is_packed(c)
 
     x = llama.rms_norm(h, lq["attn_norm"], c.rms_norm_eps)
     qkv = Q.quant_linear(x, lq["qkv"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype)
@@ -173,11 +179,11 @@ def _paged_layer(
 
     k_q, k_s, fq_k = _write_pool(
         k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis,
-        transposed=True, return_fq=True,
+        return_fq=True, packed=packed,
     )
     v_q, v_s, fq_v = _write_pool(
         v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis,
-        return_fq=True,
+        return_fq=True, packed=packed,
     )
 
     qh = q.reshape(b, s, nh, hd)
@@ -195,12 +201,12 @@ def _paged_layer(
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_paged_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables, kc, ksn,
-            theta=c.rope_theta, rope=not post_rope,
+            theta=c.rope_theta, rope=not post_rope, packed=packed,
         ).reshape(b, 1, nh * hd)
     else:
         max_tok = block_tables.shape[1] * P
-        kd = _gather_dequant(k_q, k_s, block_tables, dtype, transposed=True)
-        vd = _gather_dequant(v_q, v_s, block_tables, dtype)
+        kd = _gather_dequant(k_q, k_s, block_tables, dtype, packed=packed)
+        vd = _gather_dequant(v_q, v_s, block_tables, dtype, packed=packed)
         cache_pos = jnp.broadcast_to(
             jnp.arange(max_tok, dtype=jnp.int32), (b, max_tok)
         )

@@ -12,12 +12,14 @@ single-device serving forward (inference/model.py):
     The psum is chunked over the output dim (quantized.quant_linear
     ``n_chunks``) so the all-reduce of chunk i rides ICI while chunk i+1's
     dequant+matmul occupies the MXU.
-  * **KV cache sharded over kv heads** (``[L, b, kvh, S, hd]`` int8 carries
+  * **KV cache sharded over kv heads** (``[L, b, kvh, hd, S]`` int8 carries
     ``P(None, None, 'tp', None, None)``): each device's fused decode-attention
     kernel streams only its local heads' int8 blocks; attention needs no
     collective at all (softmax is per-head). Per-token scales are replicated
     — they are computed from the pmax of the local absmax, so the sharded
-    cache holds *exactly* the single-device integers.
+    cache holds *exactly* the single-device integers. KV4 nibble packing
+    (config.kv_cache_pack) composes: packing is split-half per head, so the
+    shard-local pack equals the global pack sliced by head.
   * **Exact activation scales.** Row-parallel inputs are only a K-shard, so
     the per-token activation absmax is pmax'd before quantizing — sharded
     int numerics are bit-identical to single-device; only the final f32
@@ -254,12 +256,14 @@ def make_tp_prefill(
     def fn(qp, ids):
         b, s = ids.shape
         kvh_local = c.kv_heads // tp
+        packed = M.cache_is_packed(c)
+        hd = c.head_dim // 2 if packed else c.head_dim
+        qdt = jnp.uint8 if packed else jnp.int8
+        kv_shape = (c.num_hidden_layers, b, kvh_local, hd, s)
         cache = {
-            "k_q": jnp.zeros((c.num_hidden_layers, b, kvh_local,
-                              c.head_dim, s), jnp.int8),
+            "k_q": jnp.zeros(kv_shape, qdt),
             "k_s": jnp.ones((c.num_hidden_layers, b, s), jnp.float32),
-            "v_q": jnp.zeros((c.num_hidden_layers, b, kvh_local, s,
-                              c.head_dim), jnp.int8),
+            "v_q": jnp.zeros(kv_shape, qdt),
             "v_s": jnp.ones((c.num_hidden_layers, b, s), jnp.float32),
             "lengths": jnp.zeros((b,), jnp.int32),
         }
@@ -283,11 +287,10 @@ def init_serving_cache_tp(
     axis: str = "tp",
 ) -> Dict[str, jax.Array]:
     """Mesh-sharded serving cache (global shapes identical to the
-    single-device cache, except KV4 nibble packing stays OFF — the TP
-    write/read path keeps the int8 container)."""
-    cache = M.init_serving_cache(
-        config.replace(kv_cache_pack=False), batch, max_len
-    )
+    single-device cache, including the KV4 nibble-packed container when
+    ``config.kv_cache_pack`` — packing is per-head, so the head-sharded
+    packed cache holds exactly the single-device bytes)."""
+    cache = M.init_serving_cache(config, batch, max_len)
     return place(cache, mesh, cache_specs(axis))
 
 
@@ -298,7 +301,8 @@ def init_serving_cache_tp(
 
 def paged_cache_specs(axis: str = "tp") -> Dict[str, P]:
     """Paged KV pool: int8 pages sharded over kv heads
-    (``[L, n_pages, kvh, P, hd]``), per-token scales replicated."""
+    (``[L, n_pages, kvh, hd, P]``, both K and V transposed), per-token
+    scales replicated."""
     kv = P(None, None, axis, None, None)
     return {
         "k_q": kv, "k_s": P(None, None, None),

@@ -109,7 +109,7 @@ def decode_step(
     kb = min(c.kv_bits, 8)
     post_rope = c.kv_cache_rope == "post"
     k_q, k_s, v_q, v_s = cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"]
-    max_len = v_q.shape[3]
+    max_len = k_q.shape[-1]
     kvh = k_q.shape[2]
     kv_dim = kvh * hd
 
@@ -180,10 +180,10 @@ def decode_step(
         )[:, None]
         h = h + x
 
-        # cache layouts: K transposed [*, kvh, hd, S], V [*, kvh, S, hd]
+        # cache layout: K and V both transposed [*, kvh, hd, S]
         new_kq.append(kq_i.reshape(b, kvh, hd, 1))
         new_ks.append(k_inv)                           # [b, 1]
-        new_vq.append(vq_i.reshape(b, kvh, 1, hd))
+        new_vq.append(vq_i.reshape(b, kvh, hd, 1))
         new_vs.append(v_inv)
 
     # one batched commit of all layers' new rows (inactive slots write the
@@ -192,7 +192,7 @@ def decode_step(
     new_len = jnp.where(active, seq_lens + 1, seq_lens)
     nk = jnp.stack(new_kq)                             # [L, b, kvh, hd, 1]
     ns = jnp.stack(new_ks)[..., 0]                     # [L, b]
-    nv = jnp.stack(new_vq)                             # [L, b, kvh, 1, hd]
+    nv = jnp.stack(new_vq)                             # [L, b, kvh, hd, 1]
     nw = jnp.stack(new_vs)[..., 0]                     # [L, b]
 
     def write_slot(kq, ks, vq, vs, nk, ns, nv, nw, wp):
@@ -202,7 +202,7 @@ def decode_step(
         return (
             upd(kq, nk, (z, z, z, wp)),
             upd(ks, ns[:, None], (z, wp)),
-            upd(vq, nv, (z, z, wp, z)),
+            upd(vq, nv, (z, z, z, wp)),
             upd(vs, nw[:, None], (z, wp)),
         )
 

@@ -10,12 +10,15 @@ softmax — nothing besides the int8 cache and the [b, nh, hd] query/output
 ever touches HBM.
 
 Layout (measured on v5e; see git history for the evolution):
-  * K is stored **transposed** — ``[b, kvh, hd, S]`` int8 — so the score
-    contraction ``q [g, hd] x k [hd, bk]`` is the canonical MXU matmul
-    (contract lhs dim 1 with rhs dim 0). The previous ``[b, kvh, S, hd]``
-    layout forced Mosaic to transpose every K block in VMEM (dn (1,1)),
-    which cost ~40% of kernel time. V stays ``[b, kvh, S, hd]`` — the
-    p·V contraction is already canonical there.
+  * K AND V are stored **transposed** — ``[b, kvh, hd, S]`` int8 — so the
+    score contraction ``q [g, hd] x k [hd, bk]`` is the canonical MXU
+    matmul (contract lhs dim 1 with rhs dim 0). The previous
+    ``[b, kvh, S, hd]`` K layout forced Mosaic to transpose every K block
+    in VMEM (dn (1,1)), ~40% of kernel time. V moved to the same layout in
+    round 4: its p·V contraction runs transposed-rhs (contract (1,1) — the
+    megakernel measured this fine), and one shared layout lets the whole-
+    model megakernel stream V by DMA column slices instead of paying a
+    per-step XLA transpose copy of the entire V cache (VERDICT r3 item 5).
   * K-RoPE cos/sin are **hoisted operands** (``[hd/2, S]`` f32, also
     transposed) computed once per forward by the caller; in-kernel
     transcendentals were the kernel's dominant cost (recomputed per
@@ -56,8 +59,8 @@ def _decode_attn_kernel(
     #   q_ref   [1, kvh, groups, hd]
     #   kq_ref  [1, kvh, hd, bk] int8 (transposed K)
     #   ks_ref  [1, 1, bk] f32 (inverse scales, lane-major)
-    #   vq_ref  [1, kvh, bk, hd] int8
-    #   vs_ref  [1, bk, 1] f32
+    #   vq_ref  [1, kvh, hd, bk] int8 (transposed, same layout as K)
+    #   vs_ref  [1, 1, bk] f32
     #   cos_ref/sin_ref [hd/2, bk] f32 — hoisted RoPE tables (transposed)
     # outputs: o_ref [1, kvh, groups, hd]
     # scratch: m_ref/l_ref [kvh, groups, 1] f32, acc_ref [kvh, groups, hd]
@@ -148,7 +151,7 @@ def _decode_attn_kernel(
                 )
             else:
                 kr = kq.astype(ct) * sk
-        vq = vq_ref[0]                                     # [kvh, bk, hd(/2)]
+        vq = vq_ref[0]                                     # [kvh, hd(/2), bk]
         if packed:
             vp = vq.astype(jnp.int32)
             vq = jnp.concatenate(
@@ -156,9 +159,12 @@ def _decode_attn_kernel(
                     ((vp << 28) >> 28).astype(jnp.int8),
                     ((vp << 24) >> 28).astype(jnp.int8),
                 ],
-                axis=-1,
+                axis=1,
             )
-        v = vq.astype(ct) * vs_ref[0][None].astype(ct)
+        v = vq.astype(ct)                                  # [kvh, hd, bk]
+        # per-token V inverse scale rides the lane dim; fold it into p
+        # (groups*bk muls) instead of dequantizing v (kvh*hd*bk muls)
+        vs = vs_ref[0].astype(ct)                          # [1, bk]
 
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
         valid = col < length
@@ -180,7 +186,7 @@ def _decode_attn_kernel(
             m_ref[h] = m_new
             l_ref[h] = l_prev[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p.astype(ct), v[h], (((1,), (0,)), ((), ())),
+                (p * vs).astype(ct), v[h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -207,7 +213,7 @@ def quantized_decode_attention(
     q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
     k_q: jax.Array,      # [b, kvh, hd, S] int8 — TRANSPOSED pre-RoPE K
     k_s: jax.Array,      # [b, S] f32 per-token inverse scales
-    v_q: jax.Array,      # [b, kvh, S, hd] int8
+    v_q: jax.Array,      # [b, kvh, hd, S] int8 — TRANSPOSED (K's layout)
     v_s: jax.Array,      # [b, S] f32
     lengths: jax.Array,  # [b] int32 — positions < length attend
     k_cos: jax.Array = None,  # [hd/2, S] f32 hoisted RoPE tables (pre mode);
@@ -224,6 +230,8 @@ def quantized_decode_attention(
     hdc = hd // 2 if packed else hd   # cache's stored head-dim extent
     assert nh == kvh * groups, (q.shape, k_q.shape)
     assert k_q.shape[2] == hdc, ("K must be transposed [b,kvh,hd,S]", k_q.shape)
+    assert v_q.shape == k_q.shape, ("V must share K's transposed layout",
+                                    v_q.shape, k_q.shape)
     bk = _pick_bk(S, kvh, hd, bk)
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
@@ -245,12 +253,12 @@ def quantized_decode_attention(
             lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
-            (1, kvh, bk, hdc),
-            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib]), 0),
+            (1, kvh, hdc, bk),
+            lambda ib, kb, lens: (ib, 0, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
-            (1, bk, 1),
-            lambda ib, kb, lens: (ib, clamp(kb, lens[ib]), 0),
+            (1, 1, bk),
+            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
         ),
     ]
     operands = [
@@ -259,7 +267,7 @@ def quantized_decode_attention(
         k_q,
         k_s[:, None, :],
         v_q,
-        v_s[..., None],
+        v_s[:, None, :],
     ]
     if tables:
         tspec = pl.BlockSpec(
@@ -302,8 +310,8 @@ def _decode_attn_stacked_kernel(
     #   q_ref   [1, kvh, groups, hd]
     #   kq_ref  [1, 1, kvh, hd, bk] int8 — layer-indexed block of the STACK
     #   ks_ref  [1, 1, 1, bk] f32
-    #   vq_ref  [1, 1, kvh, bk, hd] int8
-    #   vs_ref  [1, 1, bk, 1] f32
+    #   vq_ref  [1, 1, kvh, hd, bk] int8 (transposed, K's layout)
+    #   vs_ref  [1, 1, 1, bk] f32
     #   kn_ref  [1, kvh, 1, hd] — current token's K (rotated fake-quant)
     #   vn_ref  [1, kvh, 1, hd] — current token's V (fake-quant)
     #   cos_ref/sin_ref [hd/2, bk] f32 (only when rope and tables)
@@ -370,7 +378,8 @@ def _decode_attn_stacked_kernel(
                                  axis=1)                   # [kvh, hd, bk]
         else:
             kr = kq.astype(ct) * ks.astype(ct)[None]
-        v = vq_ref[0, 0].astype(ct) * vs_ref[0, 0][None].astype(ct)
+        v = vq_ref[0, 0].astype(ct)                        # [kvh, hd, bk]
+        vs = vs_ref[0, 0].astype(ct)                       # [1, bk]
 
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, bk), 1)
         valid = col < length
@@ -390,7 +399,7 @@ def _decode_attn_stacked_kernel(
             m_ref[h] = m_new
             l_ref[h] = l_prev[h] * alpha + jnp.sum(p, axis=-1, keepdims=True)
             acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
-                p.astype(ct), v[h], (((1,), (0,)), ((), ())),
+                (p * vs).astype(ct), v[h], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
@@ -430,7 +439,7 @@ def quantized_decode_attention_stacked(
     q: jax.Array,        # [b, nh, hd] — post-RoPE query for the new token
     k_q_all: jax.Array,  # [L, b, kvh, hd, S] int8 — WHOLE stacked cache
     k_s_all: jax.Array,  # [L, b, S] f32
-    v_q_all: jax.Array,  # [L, b, kvh, S, hd] int8
+    v_q_all: jax.Array,  # [L, b, kvh, hd, S] int8 — TRANSPOSED (K's layout)
     v_s_all: jax.Array,  # [L, b, S] f32
     lengths: jax.Array,  # [b] int32 — valid OLD rows (current token excluded)
     include_new: jax.Array,  # [b] int32 — fold the current token's pair?
@@ -454,6 +463,8 @@ def quantized_decode_attention_stacked(
     groups = nh // kvh
     assert nh == kvh * groups, (q.shape, k_q_all.shape)
     assert k_q_all.shape[3] == hd and 0 <= layer < L, (k_q_all.shape, layer)
+    assert v_q_all.shape == k_q_all.shape, ("V must share K's transposed "
+                                            "layout", v_q_all.shape)
     bk = _pick_bk(S, kvh, hd, bk)
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
@@ -475,12 +486,12 @@ def quantized_decode_attention_stacked(
             lambda ib, kb, lens, inc: (layer, ib, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
-            (1, 1, kvh, bk, hd),
-            lambda ib, kb, lens, inc: (layer, ib, 0, clamp(kb, lens[ib]), 0),
+            (1, 1, kvh, hd, bk),
+            lambda ib, kb, lens, inc: (layer, ib, 0, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
-            (1, 1, bk, 1),
-            lambda ib, kb, lens, inc: (layer, ib, clamp(kb, lens[ib]), 0),
+            (1, 1, 1, bk),
+            lambda ib, kb, lens, inc: (layer, ib, 0, clamp(kb, lens[ib])),
         ),
         pl.BlockSpec(
             (1, kvh, 1, hd), lambda ib, kb, lens, inc: (ib, 0, 0, 0)
@@ -496,7 +507,7 @@ def quantized_decode_attention_stacked(
         k_q_all,
         k_s_all.reshape(L, b, 1, S),
         v_q_all,
-        v_s_all.reshape(L, b, S, 1),
+        v_s_all.reshape(L, b, 1, S),
         k_new[:, :, None, :],
         v_new[:, :, None, :],
     ]
@@ -542,12 +553,12 @@ def _paged_attn_kernel(lens_ref, bt_ref, *rest, **kw):
     _decode_attn_kernel(lens_ref, *rest, **kw)
 
 
-@functools.partial(jax.jit, static_argnames=("theta", "rope"))
+@functools.partial(jax.jit, static_argnames=("theta", "rope", "packed"))
 def quantized_paged_attention(
     q: jax.Array,             # [b, nh, hd] — post-RoPE query
-    k_q: jax.Array,           # [n_pages, kvh, hd, P] int8 pool — TRANSPOSED K
+    k_q: jax.Array,           # [n_pages, kvh, hd(/2), P] int — TRANSPOSED K
     k_s: jax.Array,           # [n_pages, P] f32 per-token inverse scales
-    v_q: jax.Array,           # [n_pages, kvh, P, hd] int8
+    v_q: jax.Array,           # [n_pages, kvh, hd(/2), P] int — TRANSPOSED
     v_s: jax.Array,           # [n_pages, P] f32
     lengths: jax.Array,       # [b] int32
     block_tables: jax.Array,  # [b, max_pages] int32 — logical page -> pool id
@@ -556,6 +567,7 @@ def quantized_paged_attention(
     *,
     theta: float = 10000.0,
     rope: bool = True,
+    packed: bool = False,     # KV4 nibble-packed pool: hd split-half per byte
 ) -> jax.Array:               # [b, nh, hd]
     """Paged-attention analog of `quantized_decode_attention`: the grid's KV
     dimension walks each slot's block table (scalar-prefetched), so pages
@@ -567,8 +579,11 @@ def quantized_paged_attention(
     n_pages, kvh, _, P = k_q.shape
     max_pages = block_tables.shape[1]
     groups = nh // kvh
+    hdc = hd // 2 if packed else hd   # pool's stored head-dim extent
     assert nh == kvh * groups, (q.shape, k_q.shape)
-    assert k_q.shape[2] == hd, ("K must be transposed [np,kvh,hd,P]", k_q.shape)
+    assert k_q.shape[2] == hdc, ("K must be transposed [np,kvh,hd,P]", k_q.shape)
+    assert v_q.shape == k_q.shape, ("V must share K's transposed layout",
+                                    v_q.shape, k_q.shape)
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
 
@@ -587,7 +602,7 @@ def quantized_paged_attention(
             lambda ib, pg, lens, bt: (ib, 0, 0, 0),
         ),
         pl.BlockSpec(
-            (1, kvh, hd, P),
+            (1, kvh, hdc, P),
             lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
         ),
         pl.BlockSpec(
@@ -595,11 +610,11 @@ def quantized_paged_attention(
             lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
         ),
         pl.BlockSpec(
-            (1, kvh, P, hd),
+            (1, kvh, hdc, P),
             lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
         ),
         pl.BlockSpec(
-            (1, P, 1),
+            (1, 1, P),
             lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
         ),
     ]
@@ -610,7 +625,7 @@ def quantized_paged_attention(
         k_q,
         k_s[:, None, :],
         v_q,
-        v_s[..., None],
+        v_s[:, None, :],
     ]
     if tables:
         # tables live at LOGICAL positions: block index is the clamped
@@ -626,7 +641,7 @@ def quantized_paged_attention(
     out = pl.pallas_call(
         functools.partial(
             _paged_attn_kernel, bk=P, scale=scale, theta=float(theta),
-            rope=rope, tables=tables,
+            rope=rope, tables=tables, packed=packed,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -1,6 +1,6 @@
 """Fused quantized-KV decode attention kernel vs the XLA oracle.
 
-The kernel takes K TRANSPOSED — ``[b, kvh, hd, S]`` (canonical MXU score
+The kernel takes K AND V TRANSPOSED — ``[b, kvh, hd, S]`` (canonical MXU score
 contraction; see the module docstring) — while the oracle keeps the natural
 ``[b, kvh, S, hd]``; ``_t`` converts between them.
 """
@@ -49,7 +49,7 @@ def test_kernel_matches_oracle(b, kvh, groups, S, hd, bk):
         [S // 2 + 1] + [S] * (b - 1), jnp.int32
     )  # ragged: first slot partial
     out = DA.quantized_decode_attention(
-        q, _t(k_q), k_s, v_q, v_s, lengths, theta=10000.0, bk=bk
+        q, _t(k_q), k_s, _t(v_q), v_s, lengths, theta=10000.0, bk=bk
     )
     ref = DA.decode_attention_reference(
         q, k_q, k_s, v_q, v_s, lengths, theta=10000.0
@@ -64,7 +64,7 @@ def test_hoisted_tables_match_oracle():
     lengths = jnp.asarray([100, 128], jnp.int32)
     kc, ksn = _tables(S, hd)
     out = DA.quantized_decode_attention(
-        q, _t(k_q), k_s, v_q, v_s, lengths, kc, ksn, bk=64
+        q, _t(k_q), k_s, _t(v_q), v_s, lengths, kc, ksn, bk=64
     )
     ref = DA.decode_attention_reference(q, k_q, k_s, v_q, v_s, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
@@ -74,7 +74,7 @@ def test_length_one_and_full():
     b, kvh, groups, S, hd = 3, 2, 2, 128, 64
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=1)
     lengths = jnp.asarray([1, 127, 128], jnp.int32)
-    out = DA.quantized_decode_attention(q, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
+    out = DA.quantized_decode_attention(q, _t(k_q), k_s, _t(v_q), v_s, lengths, bk=64)
     ref = DA.decode_attention_reference(q, k_q, k_s, v_q, v_s, lengths)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
@@ -84,12 +84,12 @@ def test_stale_rows_ignored():
     b, kvh, groups, S, hd = 1, 2, 2, 128, 64
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=2)
     lengths = jnp.asarray([70], jnp.int32)
-    out1 = DA.quantized_decode_attention(q, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
+    out1 = DA.quantized_decode_attention(q, _t(k_q), k_s, _t(v_q), v_s, lengths, bk=64)
     # poison everything past length
     k_q2 = k_q.at[:, :, 70:].set(127)
     v_q2 = v_q.at[:, :, 70:].set(-127)
     out2 = DA.quantized_decode_attention(
-        q, _t(k_q2), k_s, v_q2, v_s, lengths, bk=64
+        q, _t(k_q2), k_s, _t(v_q2), v_s, lengths, bk=64
     )
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
@@ -117,7 +117,7 @@ def test_paged_matches_contiguous(groups):
     lengths = jnp.asarray([P * 2 + 7, S], jnp.int32)
 
     out = DA.quantized_paged_attention(
-        q, _t(pool_kq), pool_ks, pool_vq, pool_vs, lengths, bt
+        q, _t(pool_kq), pool_ks, _t(pool_vq), pool_vs, lengths, bt
     )
 
     # gather the pages into a contiguous per-slot cache
@@ -130,7 +130,7 @@ def test_paged_matches_contiguous(groups):
 
     ref = DA.quantized_decode_attention(
         q, _t(gather(pool_kq)), gather_s(pool_ks),
-        gather(pool_vq), gather_s(pool_vs), lengths, bk=P,
+        _t(gather(pool_vq)), gather_s(pool_vs), lengths, bk=P,
     )
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
@@ -139,11 +139,11 @@ def test_paged_matches_contiguous(groups):
     # and with hoisted tables on both
     kc, ksn = _tables(S, hd)
     out_t = DA.quantized_paged_attention(
-        q, _t(pool_kq), pool_ks, pool_vq, pool_vs, lengths, bt, kc, ksn
+        q, _t(pool_kq), pool_ks, _t(pool_vq), pool_vs, lengths, bt, kc, ksn
     )
     ref_t = DA.quantized_decode_attention(
         q, _t(gather(pool_kq)), gather_s(pool_ks),
-        gather(pool_vq), gather_s(pool_vs), lengths, kc, ksn, bk=P,
+        _t(gather(pool_vq)), gather_s(pool_vs), lengths, kc, ksn, bk=P,
     )
     np.testing.assert_allclose(
         np.asarray(out_t), np.asarray(ref_t), atol=2e-5, rtol=2e-5
@@ -155,7 +155,7 @@ def test_bf16_query():
     q, k_q, k_s, v_q, v_s = _make(b, kvh, groups, S, hd, seed=3)
     qb = q.astype(jnp.bfloat16)
     lengths = jnp.asarray([128, 90], jnp.int32)
-    out = DA.quantized_decode_attention(qb, _t(k_q), k_s, v_q, v_s, lengths, bk=64)
+    out = DA.quantized_decode_attention(qb, _t(k_q), k_s, _t(v_q), v_s, lengths, bk=64)
     assert out.dtype == jnp.bfloat16
     ref = DA.decode_attention_reference(
         q.astype(jnp.bfloat16).astype(jnp.float32), k_q, k_s, v_q, v_s, lengths

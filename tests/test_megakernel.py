@@ -14,8 +14,11 @@ from llm_qat_tpu.models.config import TINY_TEST
 from tests.test_unrolled import _prefilled
 
 # megakernel needs NC | {H, Dq, 2I}: TINY_TEST dims already satisfy this on
-# the interpret path (NC becomes the gcd)
-CFG_BASE = TINY_TEST.replace(w_bits=8, a_bits=8, kv_bits=8)
+# the interpret path (NC becomes the gcd). use_megakernel defaults ON since
+# round 4 — the "scan side" of every parity test must opt OUT explicitly.
+CFG_BASE = TINY_TEST.replace(
+    w_bits=8, a_bits=8, kv_bits=8, use_megakernel=False
+)
 
 
 @pytest.mark.parametrize("rope_mode", ["pre", "post"])
@@ -145,10 +148,11 @@ def test_megakernel_w4_matches_scan(kv_bits):
     """W4 packed weights through the megakernel: split-half in-kernel
     unpack + two K-half int8 dots must match the scan path exactly (the
     int32 accumulation is exact, so K-order cannot matter). kv_bits=4
-    runs with kv_cache_pack off (the megakernel keeps the int8 KV
-    container)."""
+    runs with kv_cache_pack off here (the packed-cache composition has its
+    own test below)."""
     cfg = TINY_TEST.replace(
         w_bits=4, a_bits=8, kv_bits=kv_bits, kv_cache_pack=False,
+        use_megakernel=False,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
     qparams = Q.quantize_params(params, cfg)
@@ -169,4 +173,45 @@ def test_megakernel_w4_matches_scan(kv_bits):
     for key in ("k_q", "v_q"):
         np.testing.assert_array_equal(
             np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
+
+
+@pytest.mark.parametrize("rope_mode", ["pre", "post"])
+def test_megakernel_packed_kv4_matches_scan(rope_mode):
+    """The flagship composition (VERDICT r3 item 2): W4A8KV4 with the
+    nibble-packed cache THROUGH the megakernel. The kernel streams the
+    packed uint8 container, unpacks split-half nibbles in-register (the
+    nibbles are exactly RoPE's rotate-half k1/k2 rows), and the commit
+    packs the new column — logits and packed cache bytes must match the
+    scan path, which has its own independent packed read/write path."""
+    cfg = TINY_TEST.replace(
+        w_bits=4, a_bits=8, kv_bits=4, kv_cache_pack=True,
+        kv_cache_rope=rope_mode, use_megakernel=False,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 3, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [5, 11, 8])
+    assert cache["k_q"].dtype == jnp.uint8  # packed container in play
+    tok = jax.random.randint(jax.random.PRNGKey(7), (b, 1), 0, cfg.vocab_size)
+    active = jnp.asarray([True, True, False])
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    for i in (0, 1):  # active slots (inactive outputs are discarded)
+        np.testing.assert_allclose(
+            np.asarray(lg_meg[i]), np.asarray(lg_scan[i]),
+            rtol=2e-4, atol=2e-4,
+        )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
+    for key in ("k_s", "v_s", "lengths"):
+        np.testing.assert_allclose(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key]), rtol=1e-6
         )

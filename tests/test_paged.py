@@ -53,6 +53,47 @@ def test_paged_matches_contiguous_prefill_and_decode():
     )
 
 
+def test_paged_packed_kv4_matches_contiguous():
+    """KV4 nibble-packed page pool (round 4): paged prefill+decode match
+    the contiguous packed path, and the pool container is uint8 hd/2."""
+    cfg = TINY_TEST.replace(w_bits=4, a_bits=8, kv_bits=4, kv_cache_pack=True)
+    qparams = Q.quantize_params(llama.init_params(cfg, jax.random.PRNGKey(0)),
+                                cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0, cfg.vocab_size)
+
+    ccache = M.init_serving_cache(cfg, 2, PCFG.max_seq_len)
+    want, ccache = M.serving_forward(
+        qparams, cfg, ids, jnp.zeros((2,), jnp.int32), jnp.ones((2,), bool),
+        ccache, dtype=jnp.float32,
+    )
+
+    pcache = PG.init_paged_cache(cfg, PCFG)
+    assert pcache["k_q"].dtype == jnp.uint8
+    assert pcache["k_q"].shape[3] == cfg.head_dim // 2
+    tables = jnp.asarray([[7, 3, 0, 0], [11, 5, 0, 0]], jnp.int32)
+    got, pcache = PG.paged_forward(
+        qparams, cfg, PCFG, ids, jnp.zeros((2,), jnp.int32),
+        jnp.ones((2,), bool), tables, pcache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+    # decode step through the packed paged-attention kernel
+    tok = jax.random.randint(jax.random.PRNGKey(2), (2, 1), 0, cfg.vocab_size)
+    want2, ccache = M.serving_forward(
+        qparams, cfg, tok, ccache["lengths"], jnp.ones((2,), bool),
+        ccache, dtype=jnp.float32,
+    )
+    got2, pcache = PG.paged_forward(
+        qparams, cfg, PCFG, tok, jnp.asarray([12, 12], jnp.int32),
+        jnp.ones((2,), bool), tables, pcache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got2), np.asarray(want2), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_paged_inactive_slot_untouched():
     ids = jax.random.randint(jax.random.PRNGKey(3), (2, 8), 0, CFG.vocab_size)
     pcache = PG.init_paged_cache(CFG, PCFG)
