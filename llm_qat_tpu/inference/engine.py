@@ -223,7 +223,12 @@ class InferenceEngine:
 
         lengths = np.array(self.cache["lengths"])
         for bucket, items in groups.items():
-            ids = np.zeros((len(items), bucket), np.int32)
+            # pad the group to a pow2 batch (<= max_batch) so the jitted
+            # prefill compiles per (pow2 size, bucket), not per exact group
+            # size — first-occurrence latency spikes otherwise (ADVICE r3).
+            # Padding rows are zero prompts whose outputs are never read.
+            nb = min(_bucket(len(items), lo=1), self.max_batch)
+            ids = np.zeros((nb, bucket), np.int32)
             for i, (_, req) in enumerate(items):
                 ids[i, : len(req.prompt)] = req.prompt
             logits, rows = self._prefill(self.qparams, jnp.asarray(ids))

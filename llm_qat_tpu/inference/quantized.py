@@ -38,7 +38,14 @@ def quantize_params(params: Dict[str, Any], config: LlamaConfig) -> Dict[str, An
     """
     w_bits = config.w_bits
     if w_bits not in (4, 8, 16, 32):
-        raise NotImplementedError(f"serving w_bits {w_bits}")
+        raise NotImplementedError(
+            f"serving w_bits {w_bits}: the true-int serving engine packs "
+            "w4/w8 (and serves w>=16 fp). The sub-3-bit branches (W1 BWN "
+            "sign*mean-abs, W2 — utils_quant.py:204-238) train and "
+            "evaluate via the fake-quant model (models/llama.py, "
+            "examples/accuracy_experiment.py); a dedicated bit-plane "
+            "serving container is future work."
+        )
 
     out: Dict[str, Any] = {
         "embed": params["embed"],
@@ -180,6 +187,21 @@ def quant_linear(
         raise NotImplementedError(
             f"serving activation container is int8: a_bits={a_bits} "
             "unsupported (use a_bits<=8 or >=16)"
+        )
+    if 16 <= a_bits < 32:
+        # training fake-quants activations for any 2 < a_bits < 32
+        # (utils_quant.py:184-188) but serving runs these widths fp —
+        # a deliberate approximation (bf16 rounding subsumes >=16-bit
+        # per-token fake-quant). Say so once instead of silently serving
+        # different numerics than training (ADVICE r3). Fires at trace
+        # time, so it is once per compiled shape, not per step.
+        import warnings
+
+        warnings.warn(
+            f"a_bits={a_bits}: training fake-quants activations at this "
+            "width but serving runs them in full precision (documented "
+            "approximation; use a_bits<=8 for int-exact serving)",
+            stacklevel=2,
         )
     fp_act = a_bits <= 2 or a_bits >= 16
     if "w" in qw:  # unquantized weight

@@ -329,7 +329,13 @@ def backbone(
             == (jnp.arange(s)[None, :] < flash_lengths[:, None])
         )
         if isinstance(is_prefix, jax.core.Tracer):
+            # debug callbacks are best-effort (can surface asynchronously /
+            # be swallowed on some backends — ADVICE r3), so the callback
+            # is only the *readable* error; the hard guarantee is a NaN
+            # sentinel folded into the hidden state below: a non-prefix
+            # mask can never silently produce wrong-but-finite logits.
             jax.debug.callback(_check_prefix_mask, is_prefix)
+            h = h + jnp.where(is_prefix, 0.0, jnp.nan).astype(h.dtype)
         elif not bool(is_prefix):
             use_flash = False
             flash_lengths = None
