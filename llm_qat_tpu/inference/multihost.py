@@ -1,0 +1,110 @@
+"""Multi-host serving driver: data-over-hosts x tp-within-host.
+
+DESIGN.md "Serving": multi-host serving composes data parallelism ACROSS
+hosts with tensor parallelism WITHIN a host — each host runs its own
+continuous-batching engine (inference/engine.py) against a tp-sharded
+model over its local chips, and the frontend partitions requests across
+hosts. By construction there is **no cross-host collective on the decode
+hot path**: ICI carries the row-parallel psums inside a host, DCN carries
+only request/response traffic. (The reference has no serving at all —
+SURVEY.md §1; its closest analog is the 64-way process-parallel synthesis
+sharding, generate_data.py:22.)
+
+This module is the host-side composition layer:
+
+  * every process builds the SAME deterministic request->host partition
+    (uid round-robin), so no coordinator process is needed — a submit()
+    call on any host enqueues only the requests that host owns;
+  * each host's engine runs on a mesh over its LOCAL devices
+    (``jax.local_devices()``), which is a valid single-process mesh even
+    under ``jax.distributed`` — compilation and dispatch never wait on
+    other hosts;
+  * ``run()`` drains the local engine; results carry the globally unique
+    uid so a frontend can merge streams from all hosts.
+
+Tested by the 2-process loopback dress rehearsal
+(tests/test_multihost.py::test_two_process_data_x_tp_serving): every
+host's served tokens must equal the single-device reference for exactly
+its partition of the prompts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from llm_qat_tpu.inference import sharded as S
+from llm_qat_tpu.inference.engine import InferenceEngine, Request
+from llm_qat_tpu.models.config import LlamaConfig
+
+
+class MultiHostServingDriver:
+    """One per process. ``params`` are the latent-fp weights (replicated
+    host-side); each host quantizes into the tp-interleaved layout for its
+    local mesh. ``tp`` defaults to all local devices; ``tp=1`` degenerates
+    to pure data-over-hosts serving."""
+
+    def __init__(
+        self,
+        params: Dict[str, Any],
+        config: LlamaConfig,
+        *,
+        tp: Optional[int] = None,
+        max_batch: int = 8,
+        max_len: int = 2048,
+        steps_per_sync: int = 8,
+        dtype=jnp.bfloat16,
+    ):
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        local = jax.local_devices()
+        tp = len(local) if tp is None else tp
+        if tp > len(local):
+            raise ValueError(
+                f"tp={tp} exceeds {len(local)} local devices: tensor "
+                "parallelism stays within a host (no DCN on the hot path)"
+            )
+        if tp == 1:
+            qparams = None
+            mesh = None
+            from llm_qat_tpu.inference import quantized as Q
+
+            qparams = Q.quantize_params(params, config)
+        else:
+            mesh = Mesh(np.asarray(local[:tp]), ("tp",))
+            qparams = S.quantize_params_tp(params, config, tp)
+        self.engine = InferenceEngine(
+            qparams, config, max_batch=max_batch, max_len=max_len,
+            steps_per_sync=steps_per_sync, dtype=dtype, mesh=mesh,
+        )
+        self._next_uid = 0
+
+    def owner(self, uid: int) -> int:
+        """Deterministic request->host partition (every host computes the
+        same answer with no coordination)."""
+        return uid % self.process_count
+
+    def submit(self, prompt: Sequence[int], **kw) -> int:
+        """Assigns the next global uid; enqueues locally iff this host owns
+        it. Every host must call submit() with the same request stream (the
+        loopback analog of a broadcast frontend). Returns the global uid."""
+        uid = self._next_uid
+        self._next_uid += 1
+        if self.owner(uid) == self.process_index:
+            local_uid = self.engine.submit(prompt, **kw)
+            # remap the engine's local uid to the global one at retirement
+            self._local_to_global = getattr(self, "_local_to_global", {})
+            self._local_to_global[local_uid] = uid
+        return uid
+
+    def run(self) -> List[Request]:
+        """Drain this host's engine; rewrites uids to the global ids."""
+        finished = self.engine.run()
+        mapping = getattr(self, "_local_to_global", {})
+        for r in finished:
+            r.uid = mapping.get(r.uid, r.uid)
+        return finished
