@@ -156,6 +156,71 @@ def main():
     }
     print(json.dumps(train_rec), flush=True)
 
+    # decode LAST (VERDICT round-3 item 3: driver-capture the decode
+    # number): the flagship W4A8KV4 config AS SHIPPED — no flags, i.e.
+    # megakernel ON + nibble-packed KV4 cache ON (they compose since round
+    # 4). vs_baseline = fraction of the weight+KV HBM speed-of-light floor.
+    from llm_qat_tpu.inference import model as M
+    from llm_qat_tpu.inference import quantized as Q
+
+    del student, teacher, tr  # free the train state before the cache
+
+    cfg_d = TINYLLAMA_1B.replace(w_bits=4, a_bits=8, kv_bits=4)
+    if not on_tpu:
+        cfg_d = cfg_d.replace(num_hidden_layers=2)
+    db, ctx, fill = (8, 2048, 1024) if on_tpu else (2, 128, 64)
+    dparams = llama.init_params(cfg_d, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    qparams = Q.quantize_params(dparams, cfg_d)
+    del dparams
+    cache = dict(
+        M.init_serving_cache(cfg_d, db, ctx),
+        lengths=jnp.full((db,), fill, jnp.int32),
+    )
+    active = jnp.ones((db,), bool)
+    tok0 = jnp.ones((db, 1), jnp.int32)
+    d_iters = 64 if on_tpu else 4
+
+    @jax.jit
+    def decode_n(qp, cache, tok):
+        def body(carry, _):
+            cache, tok = carry
+            logits, cache = M.serving_forward(
+                qp, cfg_d, tok, cache["lengths"], active, cache
+            )
+            tok = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)[:, None]
+            return (cache, tok), ()
+
+        (cache, tok), _ = jax.lax.scan(
+            body, (cache, tok), None, length=d_iters
+        )
+        return tok.sum()
+
+    float(decode_n(qparams, cache, tok0))  # compile + warm
+    reps = 3 if on_tpu else 1
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(decode_n(qparams, cache, tok0))
+    t_dec = (time.perf_counter() - t0) / reps / d_iters
+
+    # HBM floor: int4 weights + bf16 head + nibble-packed KV bytes per step
+    c = cfg_d
+    H, I, L, V = (c.hidden_size, c.intermediate_size, c.num_hidden_layers,
+                  c.vocab_size)
+    kv_dim = c.kv_heads * c.head_dim
+    wb_layer = H * (H + 2 * kv_dim) + H * H + 2 * H * I + I * H
+    wbytes = L * wb_layer * 0.5 + V * H * 2
+    kvbytes = L * db * fill * 2 * kv_dim * 0.5  # packed KV4
+    sol = (wbytes + kvbytes) / 819e9 if on_tpu else None  # v5e HBM
+    dec_rec = {
+        "metric": "tinyllama1.1b_w4a8kv4_decode_ms_per_step",
+        "value": round(t_dec * 1e3, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(sol / t_dec, 4) if sol else None,
+        "tok_per_s": round(db / t_dec, 1),
+        "batch": db, "ctx_fill": fill,
+    }
+    print(json.dumps(dec_rec), flush=True)
+
 
 if __name__ == "__main__":
     main()
