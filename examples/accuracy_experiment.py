@@ -299,7 +299,8 @@ def main():
         "--sweep", action="store_true",
         help="run the reference table's axes (README.md:45-54 shape): "
         "W8A8KV8, W4A8KV8, W4A8KV4, W4A6KV16 (A6 path), W2A8KV8 (2-bit "
-        "branch) — teacher/corpus/synthesis shared across configs",
+        "branch), W1A8KV8 (BWN sign*mean-abs branch, utils_quant.py:"
+        "204-212) — teacher/corpus/synthesis shared across configs",
     )
     args = ap.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
@@ -321,7 +322,7 @@ def main():
     dtype = jnp.float32 if small else jnp.bfloat16
 
     bit_configs = (
-        [(8, 8, 8), (4, 8, 8), (4, 8, 4), (4, 6, 16), (2, 8, 8)]
+        [(8, 8, 8), (4, 8, 8), (4, 8, 4), (4, 6, 16), (2, 8, 8), (1, 8, 8)]
         if args.sweep
         else [(args.w_bits, args.a_bits, args.kv_bits)]
     )
