@@ -49,6 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
+_LOG2E = 1.4426950408889634  # log2(e)
+_LN2 = 0.6931471805599453    # ln(2)
 
 
 def _interpret() -> bool:
@@ -69,7 +71,7 @@ def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int):
 
 
 def _flash_fwd_kernel(
-    lens_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    lens_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, bq: int, bk: int, scale: float, nk: int,
 ):
     ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
@@ -86,12 +88,22 @@ def _flash_fwd_kernel(
     @pl.when(kb <= live_last)
     def _():
         q = q_ref[0, 0]          # [bq, d]
-        k = k_ref[0]             # [bk, d]
+        k = kt_ref[0]            # [d, bk] — K transposed (round 4): the
+        # score dot contracts (1, 0), the canonical MXU layout; the
+        # previous [bk, d] block contracted (1, 1), which Mosaic serviced
+        # with an in-VMEM transpose per block (~12% of kernel time at the
+        # b=4 s=2048 prefill shape, measured)
         v = v_ref[0]
         start_k = kb * bk
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bk] fp32
+        # base-2 softmax: the kernel is transcendental-bound at prefill
+        # shapes (B*G*S^2/2 = 268M exps/layer-sweep, traced at ~45% of
+        # kernel time), and TPU's native transcendental is exp2 — exp(x)
+        # lowers to exp2(x*log2e) plus a [bq, bk] multiply. Folding log2e
+        # into the score scale deletes that multiply; m/l stay in the
+        # base-2 domain and only the final lse converts back with ln2.
+        s = (scale * _LOG2E) * jax.lax.dot_general(
+            q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk] fp32, base-2 logits
         row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
@@ -100,8 +112,8 @@ def _flash_fwd_kernel(
         m = m_scr[:]
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
-        alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m - m_new)
+        p = jnp.exp2(s - m_new)
         m_scr[:] = m_new
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -113,7 +125,8 @@ def _flash_fwd_kernel(
     def _():
         l = l_scr[:]
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0, 0, 0] = (m_scr[:] + jnp.log(l))[:, 0]
+        # lse in nats (what the backward kernels consume): m is base-2
+        lse_ref[0, 0, 0] = (m_scr[:] * _LN2 + jnp.log(l))[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("bq", "bk"))
@@ -124,6 +137,14 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
     scale = 1.0 / (D ** 0.5)
     nq, nk = S // bq, S // bk
     grid = (B, G, nq, nk)
+    # K streams transposed [B, D, S] so the in-kernel score dot is the
+    # canonical (1, 0) contraction; the relayout copy here is O(B*S*D)
+    # bf16 — ~0.01 ms/layer at the prefill shape, vs the ~12% per-block
+    # in-VMEM transpose it replaces (round-4 flash retune, DESIGN.md)
+    kt = jnp.swapaxes(k, 1, 2)
+
+    def kt_idx(b, g, iq, kb, lens):
+        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)))
 
     def kv_idx(b, g, iq, kb, lens):
         return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
@@ -137,7 +158,7 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), lambda b, g, iq, kb, lens: (b, g, iq, 0)),
-                pl.BlockSpec((1, bk, D), kv_idx),
+                pl.BlockSpec((1, D, bk), kt_idx),
                 pl.BlockSpec((1, bk, D), kv_idx),
             ],
             out_specs=(
@@ -163,7 +184,7 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
             transcendentals=B * G * S * S // 2,
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v)
+    )(lengths, q, kt, v)
 
 
 # ---------------------------------------------------------------------------
@@ -377,7 +398,7 @@ def _naive_attention(q, k, v):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention_gqa(q, k, v, lengths, bq: int = 512, bk: int = 512):
+def flash_attention_gqa(q, k, v, lengths, bq: int = 512, bk: int = 1024):
     """Causal flash attention: q ``[B, G, S, D]``, k/v ``[B, S, D]`` where
     ``B = batch*kv_heads`` and ``G`` is the GQA group size; ``lengths``
     ``[B]`` int32 masks columns ``>= length`` (pass ``S`` for no padding).
@@ -405,7 +426,7 @@ def _fa_bwd(bq, bk, res, g):
 flash_attention_gqa.defvjp(_fa_fwd, _fa_bwd)
 
 
-def flash_attention_bhsd(q, k, v, bq: int = 512, bk: int = 512):
+def flash_attention_bhsd(q, k, v, bq: int = 512, bk: int = 1024):
     """MHA compatibility wrapper over ``[BH, S, D]`` operands (G=1)."""
     B, S, _ = q.shape
     lengths = jnp.full((B,), S, jnp.int32)
@@ -419,7 +440,7 @@ def flash_attention(
     *,
     lengths: jax.Array = None,  # [b] int32 valid prefix per sequence
     bq: int = 512,
-    bk: int = 512,
+    bk: int = 1024,
 ) -> jax.Array:
     """Model-layout wrapper: GQA via the kernel's group dim — K/V are
     never repeated (head h reads kv head ``h // groups``, matching
