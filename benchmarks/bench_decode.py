@@ -49,6 +49,11 @@ def main() -> None:
         help="force the scan decode path",
     )
     ap.add_argument(
+        "--nc", type=int, default=0,
+        help="megakernel weight-chunk width override (0 = auto/256; 512 "
+        "needs a ~30+ min Mosaic compile budget)",
+    )
+    ap.add_argument(
         "--no_kv_pack", action="store_true",
         help="keep the int8 KV container at kv_bits<=4 (every decode path "
         "including the megakernel streams the packed container since "
@@ -62,6 +67,7 @@ def main() -> None:
         use_unrolled_decode=args.unrolled,
         use_megakernel=args.megakernel,
         kv_cache_pack=not args.no_kv_pack,
+        megakernel_nc=args.nc,
     )
     if args.layers:
         cfg = cfg.replace(num_hidden_layers=args.layers)

@@ -93,6 +93,11 @@ def _pick_nc(c: LlamaConfig) -> int:
 
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
+    if c.megakernel_nc:
+        # explicit override (config.megakernel_nc): honored when it
+        # divides every stage width, else fall through to auto
+        if g % c.megakernel_nc == 0 and c.hidden_size // c.megakernel_nc >= 2:
+            return c.megakernel_nc
     nc = 256
     while nc > g or g % nc:
         nc //= 2
@@ -155,9 +160,12 @@ def _kernel(
     qrot_ref,     # [b, nh*hd] f32 — post-RoPE query (2-D rope staging)
     q4_ref,       # [b, kvh, groups, hd] f32 — same values, head-major for
                   # [groups, hd] loads with leading indices
-    m_ref,        # [b, kvh, groups, 1] f32
-    l_ref,        # [b, kvh, groups, 1] f32
-    acc_ref,      # [b, kvh, groups, hd] f32
+    m_ref,        # [b, kvh, groups, 1] f32 — or [b, kvh*groups, 1] when
+                  # ``batched_att`` (cross-head batched softmax update)
+    l_ref,        # (same layout rule)
+    acc_ref,      # [b, kvh, groups, hd] / [b, kvh*groups, hd] f32
+    s_scr,        # [kvh*groups, BK] f32 — batched score staging (unused
+                  # on the per-head path)
     wA_ref,       # [2, H, NC] int8
     wB_ref,       # [2, I, NC] int8
     kbuf_ref,     # [2, b, kvh, hd(/2), BK] int8/uint8
@@ -174,6 +182,10 @@ def _kernel(
     rope: bool,    # pre mode: rotate K on read
     w4: bool,      # int4 split-half packed weights (quant_matmul.pack_int4)
     kv_pack: bool,  # KV4 nibble-packed cache: hd split-half per byte
+    batched_att: bool,  # one masked max/exp/sum across ALL kv heads per
+                   # slot per block (requires groups % 8 == 0 so per-head
+                   # sublane slices stay aligned) — cuts the VPU
+                   # instruction count that bounds b>=16 (VERDICT r3 #7)
     dtype,
 ):
     c = cfg
@@ -195,6 +207,18 @@ def _kernel(
     ct = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
     l_id = pl.program_id(0)
+
+    # head-indexed views of the softmax state, valid under both scratch
+    # layouts: batched_att flattens (kvh, groups) into one sublane dim so
+    # a single vector op updates every head's m/l/p at once; per-head
+    # slices land at offsets hh*groups, aligned because batched_att
+    # requires groups % 8 == 0
+    if batched_att:
+        def hidx(i, hh):
+            return (i, slice(hh * groups, (hh + 1) * groups))
+    else:
+        def hidx(i, hh):
+            return (i, hh)
 
     # ---- static weight-chunk schedule -----------------------------------
     nq, no, ngu, nB = Dq // NC, H // NC, (2 * I) // NC, H // NC
@@ -430,6 +454,9 @@ def _kernel(
             cos = kcos_ref[kb_idx]                         # [hd/2, BK]
             sin = ksin_ref[kb_idx]
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, BK), 1)
+        col_all = start + jax.lax.broadcasted_iota(
+            jnp.int32, (kvh * groups, BK), 1
+        )
         for i in range(b):
             # a block past slot i's length contributes nothing — skipping it
             # also avoids the exp(-inf - -inf) = 1 poisoning of l for fully
@@ -442,7 +469,8 @@ def _kernel(
                 if rope:
                     cc = (cos * ksl).astype(ct)            # [h2, BK]
                     ss = (sin * ksl).astype(ct)
-                for hh in range(kvh):
+
+                def kr_of(hh):
                     kq_ih = kbuf_ref[slot, i, hh]          # [hd(/2), BK] int
                     if kv_pack:
                         # the byte's nibbles are the split-half hd rows —
@@ -454,49 +482,89 @@ def _kernel(
                         k1 = kq_ih[0:h2].astype(ct)
                         k2 = kq_ih[h2:hd].astype(ct)
                     if rope:
-                        kr = jnp.concatenate(
+                        return jnp.concatenate(
                             [k1 * cc - k2 * ss, k2 * cc + k1 * ss], axis=0
                         )
-                    else:
-                        sl = ksl.astype(ct)
-                        kr = jnp.concatenate([k1 * sl, k2 * sl], axis=0)
-                    q_ih = q4_ref[i, hh].astype(ct)        # [groups, hd]
-                    s = jax.lax.dot_general(
-                        q_ih, kr, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    s = jnp.where(valid, s * scale, _NEG_INF)
-                    m_prev = m_ref[i, hh]
-                    l_prev = l_ref[i, hh]
-                    m_blk = jnp.max(s, axis=-1, keepdims=True)
-                    m_new = jnp.maximum(m_prev, m_blk)
-                    alpha = jnp.exp(m_prev - m_new)
-                    p = jnp.exp(s - m_new)
-                    m_ref[i, hh] = m_new
-                    l_ref[i, hh] = l_prev * alpha + jnp.sum(
-                        p, axis=-1, keepdims=True
-                    )
-                    # V streams transposed ([hd, BK], K's layout); fold
-                    # the inverse scale into p and contract over BK with a
-                    # transposed-rhs dot
-                    pv = (p * vsl).astype(ct)              # [groups, BK]
+                    sl = ksl.astype(ct)
+                    return jnp.concatenate([k1 * sl, k2 * sl], axis=0)
+
+                def v_of(hh):
                     if kv_pack:
                         vp = vbuf_ref[slot, i, hh].astype(jnp.int32)
-                        v_ih = jnp.concatenate(
+                        return jnp.concatenate(
                             [
                                 ((vp << 28) >> 28).astype(ct),
                                 ((vp << 24) >> 28).astype(ct),
                             ],
                             axis=0,
                         )                                  # [hd, BK]
-                    else:
-                        v_ih = vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
-                    acc_ref[i, hh] = (
-                        acc_ref[i, hh] * alpha + jax.lax.dot_general(
-                            pv, v_ih, (((1,), (1,)), ((), ())),
+                    return vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
+
+                if batched_att:
+                    # stage every head's scores, then ONE masked
+                    # max/exp/sum across the flattened (kvh*groups)
+                    # sublane dim — the per-head VPU op count was the
+                    # b>=16 bottleneck (DESIGN.md megakernel notes)
+                    for hh in range(kvh):
+                        q_ih = q4_ref[i, hh].astype(ct)    # [groups, hd]
+                        s_scr[hh * groups:(hh + 1) * groups, :] = (
+                            jax.lax.dot_general(
+                                q_ih, kr_of(hh), (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )
+                    s = jnp.where(
+                        col_all < lens[i], s_scr[:] * scale, _NEG_INF
+                    )                                      # [kvh*g, BK]
+                    m_prev = m_ref[i]                      # [kvh*g, 1]
+                    l_prev = l_ref[i]
+                    m_blk = jnp.max(s, axis=-1, keepdims=True)
+                    m_new = jnp.maximum(m_prev, m_blk)
+                    alpha = jnp.exp(m_prev - m_new)
+                    p = jnp.exp(s - m_new)
+                    m_ref[i] = m_new
+                    l_ref[i] = l_prev * alpha + jnp.sum(
+                        p, axis=-1, keepdims=True
+                    )
+                    pv = (p * vsl).astype(ct)              # [kvh*g, BK]
+                    for hh in range(kvh):
+                        g0, g1 = hh * groups, (hh + 1) * groups
+                        acc_ref[i, g0:g1] = (
+                            acc_ref[i, g0:g1] * alpha[g0:g1]
+                            + jax.lax.dot_general(
+                                pv[g0:g1], v_of(hh),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )
+                else:
+                    for hh in range(kvh):
+                        q_ih = q4_ref[i, hh].astype(ct)    # [groups, hd]
+                        s = jax.lax.dot_general(
+                            q_ih, kr_of(hh), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
-                    )
+                        s = jnp.where(valid, s * scale, _NEG_INF)
+                        m_prev = m_ref[i, hh]
+                        l_prev = l_ref[i, hh]
+                        m_blk = jnp.max(s, axis=-1, keepdims=True)
+                        m_new = jnp.maximum(m_prev, m_blk)
+                        alpha = jnp.exp(m_prev - m_new)
+                        p = jnp.exp(s - m_new)
+                        m_ref[i, hh] = m_new
+                        l_ref[i, hh] = l_prev * alpha + jnp.sum(
+                            p, axis=-1, keepdims=True
+                        )
+                        # V streams transposed ([hd, BK], K's layout);
+                        # fold the inverse scale into p and contract over
+                        # BK with a transposed-rhs dot
+                        pv = (p * vsl).astype(ct)          # [groups, BK]
+                        acc_ref[i, hh] = (
+                            acc_ref[i, hh] * alpha + jax.lax.dot_general(
+                                pv, v_of(hh), (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )
         @pl.when(kb_idx + 2 < nb)
         def _():
             att_start(kb_idx + 2, slot)
@@ -537,15 +605,15 @@ def _kernel(
                 preferred_element_type=jnp.float32,
             ) * scale                                      # [groups, 1]
             s_cur = jnp.where(act_i, s_cur, _NEG_INF)
-            m_prev = m_ref[i, hh]
-            l_prev = l_ref[i, hh]
+            m_prev = m_ref[hidx(i, hh)]
+            l_prev = l_ref[hidx(i, hh)]
             m_new = jnp.maximum(m_prev, s_cur)
             alpha = jnp.exp(m_prev - m_new)
             # zero (not exp(-inf - -inf) = 1) where the fold is inactive —
             # the token doesn't exist for that slot
             p = jnp.where(act_i, jnp.exp(s_cur - m_new), 0.0)
             l_new = jnp.maximum(l_prev * alpha + p, 1e-9)
-            acc = acc_ref[i, hh] * alpha + jax.lax.dot_general(
+            acc = acc_ref[hidx(i, hh)] * alpha + jax.lax.dot_general(
                 p, v_fold, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -635,6 +703,10 @@ def decode_step(
     BK = _pick_bk(S)
     BM = max(32, -(-b // 8) * 8)
     rope = c.kv_cache_rope != "post"
+    groups_ = c.num_attention_heads // kvh
+    # cross-head batched softmax (one masked max/exp/sum per slot per
+    # block): per-head sublane slices must land at multiples of 8
+    batched_att = groups_ % 8 == 0 and kvh > 1
 
     h = jnp.take(qparams["embed"], input_ids[:, 0], axis=0).astype(dtype)
     positions = seq_lens[:, None]                          # [b, 1]
@@ -695,12 +767,22 @@ def decode_step(
                        jnp.float32),                 # qrot
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
                        jnp.float32),                 # q4
-            pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, 1),
-                       jnp.float32),                 # m
-            pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, 1),
-                       jnp.float32),                 # l
-            pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
-                       jnp.float32),                 # acc
+            pltpu.VMEM(
+                (b, c.num_attention_heads, 1) if batched_att
+                else (b, kvh, c.num_attention_heads // kvh, 1),
+                jnp.float32,
+            ),                                       # m
+            pltpu.VMEM(
+                (b, c.num_attention_heads, 1) if batched_att
+                else (b, kvh, c.num_attention_heads // kvh, 1),
+                jnp.float32,
+            ),                                       # l
+            pltpu.VMEM(
+                (b, c.num_attention_heads, hd) if batched_att
+                else (b, kvh, c.num_attention_heads // kvh, hd),
+                jnp.float32,
+            ),                                       # acc
+            pltpu.VMEM((c.num_attention_heads, BK), jnp.float32),  # s_scr
             pltpu.VMEM(
                 (2, H // 2 if c.w_bits == 4 else H, NC),
                 jnp.uint8 if c.w_bits == 4 else jnp.int8,
@@ -728,7 +810,7 @@ def decode_step(
     w4 = c.w_bits == 4
     kernel = functools.partial(
         _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, w4=w4,
-        kv_pack=kv_pack, dtype=dtype,
+        kv_pack=kv_pack, batched_att=batched_att, dtype=dtype,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((b, H), dtype),

@@ -63,6 +63,11 @@ class LlamaConfig:
     # Default ON since round 4 (it now composes with kv_cache_pack);
     # configs outside megakernel.supported() fall back to the scan path.
     use_megakernel: bool = True
+    # Megakernel weight-chunk width override (0 = auto: largest power of
+    # two <= 256 dividing {H, Dq, 2I}). Larger NC halves the per-chunk
+    # loop overhead but multiplies Mosaic compile time — NC=512 passes
+    # interpret tests but needs a ~30+ min compile budget (DESIGN.md).
+    megakernel_nc: int = 0
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False

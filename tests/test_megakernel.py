@@ -176,6 +176,43 @@ def test_megakernel_w4_matches_scan(kv_bits):
         )
 
 
+@pytest.mark.parametrize("kv_pack", [False, True])
+def test_megakernel_batched_attention_matches_scan(kv_pack):
+    """groups % 8 == 0 routes attention through the cross-head batched
+    softmax (megakernel.batched_att, the b>=16 VPU-instruction fix —
+    VERDICT r3 item 7); logits and committed integers must still match
+    the scan path exactly."""
+    cfg = TINY_TEST.replace(
+        hidden_size=128, intermediate_size=128, num_attention_heads=16,
+        num_key_value_heads=2,  # groups = 8 -> batched_att
+        w_bits=4 if kv_pack else 8, a_bits=8,
+        kv_bits=4 if kv_pack else 8, kv_cache_pack=kv_pack,
+        use_megakernel=False,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 3, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [5, 11, 8])
+    tok = jax.random.randint(jax.random.PRNGKey(7), (b, 1), 0, cfg.vocab_size)
+    active = jnp.asarray([True, True, False])
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    for i in (0, 1):
+        np.testing.assert_allclose(
+            np.asarray(lg_meg[i]), np.asarray(lg_scan[i]),
+            rtol=2e-4, atol=2e-4,
+        )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
+
+
 @pytest.mark.parametrize("rope_mode", ["pre", "post"])
 def test_megakernel_packed_kv4_matches_scan(rope_mode):
     """The flagship composition (VERDICT r3 item 2): W4A8KV4 with the
