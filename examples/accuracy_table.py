@@ -11,7 +11,8 @@ more-bits >= fewer-bits.
 import json
 import sys
 
-ORDER = ["W8A8KV8", "W4A8KV8", "W4A8KV4", "W4A6KV16", "W2A8KV8"]
+ORDER = ["W8A8KV8", "W4A8KV8", "W4A8KV4", "W4A6KV16", "W2A8KV8",
+         "W1A8KV8"]
 
 
 def main(paths):
@@ -47,7 +48,7 @@ def main(paths):
             ok = e["qat"]["ppl"] <= e["ptq"]["ppl"] + 1e-4
             checks.append((f"QAT<=PTQ ppl @ {bits}", ok))
         for hi, lo in [("W8A8KV8", "W4A8KV8"), ("W4A8KV8", "W4A8KV4"),
-                       ("W4A8KV8", "W2A8KV8")]:
+                       ("W4A8KV8", "W2A8KV8"), ("W2A8KV8", "W1A8KV8")]:
             if hi in cfgs and lo in cfgs:
                 ok = cfgs[hi]["qat"]["ppl"] <= cfgs[lo]["qat"]["ppl"] + 1e-4
                 checks.append((f"more bits >= fewer ({hi} vs {lo})", ok))
