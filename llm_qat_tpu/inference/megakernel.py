@@ -74,7 +74,7 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
         return False
     if b > 32:
         return False
-    nc = _pick_nc(c)
+    nc = _pick_nc(c, b, max_len)
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     if nc < 128 and not _interpret():
         return False
@@ -88,16 +88,28 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     return True
 
 
-def _pick_nc(c: LlamaConfig) -> int:
+def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
     import math
 
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
     if c.megakernel_nc:
         # explicit override (config.megakernel_nc): honored when it
-        # divides every stage width, else fall through to auto
-        if g % c.megakernel_nc == 0 and c.hidden_size // c.megakernel_nc >= 2:
-            return c.megakernel_nc
+        # divides every stage width AND the double-buffered weight +
+        # cache buffers leave scoped-VMEM headroom (measured: b=16 W8 at
+        # NC=512 exceeds the 16 MB limit by 1.16 MB — b=8 fits), else
+        # fall through to auto
+        nc = c.megakernel_nc
+        wdiv = 2 if c.w_bits == 4 else 1
+        west = 2 * (c.hidden_size // wdiv) * nc + 2 * (
+            c.intermediate_size // wdiv
+        ) * nc
+        hdc = c.head_dim // 2 if (c.kv_cache_pack and c.kv_bits <= 4) \
+            else c.head_dim
+        kvbufs = 2 * 2 * b * c.kv_heads * hdc * _pick_bk(max_len)
+        if (g % nc == 0 and c.hidden_size // nc >= 2
+                and west + kvbufs <= 14 * 2 ** 20):
+            return nc
     nc = 256
     while nc > g or g % nc:
         nc //= 2
@@ -699,7 +711,7 @@ def decode_step(
     I = c.intermediate_size
     kv_dim = kvh * hd
     Dq = H + 2 * kv_dim
-    NC = _pick_nc(c)
+    NC = _pick_nc(c, b, S)
     BK = _pick_bk(S)
     BM = max(32, -(-b // 8) * 8)
     rope = c.kv_cache_rope != "post"
