@@ -193,10 +193,17 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
 
 
 def _flash_bwd_dq_kernel(
-    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    lens_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
     *, bq: int, bk: int, scale: float, nk: int,
 ):
-    """dQ_i = scale * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j, blockwise."""
+    """dQ_i = scale * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j, blockwise.
+
+    K/V stream TRANSPOSED ([d, bk]) for the score and dP dots — canonical
+    (1, 0) contractions (round-4 retune, same as the forward); K also
+    streams untransposed for the dQ accumulation dot, which is already
+    canonical in that layout. p is computed base-2 (exp2 with log2e
+    folded into the operands — the VPU-native transcendental)."""
     ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     length = lens_ref[ib]
     live_last = _last_live_kv(iq, length, bq, bk)
@@ -210,21 +217,22 @@ def _flash_bwd_dq_kernel(
     def _():
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, 0][:, None]       # [bq, 1]
-        delta = delta_ref[0, 0, 0][:, None]   # [bq, 1]
-        k = k_ref[0]
-        v = v_ref[0]
+        lse2 = lse_ref[0, 0, 0][:, None] * _LOG2E   # [bq, 1], base 2
+        delta = delta_ref[0, 0, 0][:, None]         # [bq, 1]
+        kt = kt_ref[0]                              # [d, bk]
+        k = k_ref[0]                                # [bk, d]
+        vt = vt_ref[0]                              # [d, bk]
         start_k = kb * bk
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s2 = (scale * _LOG2E) * jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
-        s = jnp.where(ok, s, _NEG_INF)
-        p = jnp.exp(s - lse)
+        s2 = jnp.where(ok, s2, _NEG_INF)
+        p = jnp.exp2(s2 - lse2)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = (p * (dp - delta)).astype(k.dtype)
         dq_scr[:] += jax.lax.dot_general(
@@ -242,8 +250,8 @@ def _flash_bwd_dq_kernel(
 
 
 def _flash_bwd_dkv_kernel(
-    lens_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
-    dk_scr, dv_scr,
+    lens_ref, q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref, dk_ref,
+    dv_ref, dk_scr, dv_scr,
     *, bq: int, bk: int, scale: float, nq: int, groups: int,
 ):
     """dK_j / dV_j accumulated over causally-live query blocks of every GQA
@@ -263,27 +271,27 @@ def _flash_bwd_dkv_kernel(
 
     @pl.when(iq >= first_live)
     def _():
-        k = k_ref[0]
-        v = v_ref[0]
+        kt = kt_ref[0]                              # [d, bk]
+        vt = vt_ref[0]                              # [d, bk]
         q = q_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, 0][:, None]
+        lse2 = lse_ref[0, 0, 0][:, None] * _LOG2E
         delta = delta_ref[0, 0, 0][:, None]
         start_q = iq * bq
-        s = scale * jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        s2 = (scale * _LOG2E) * jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
         ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
-        s = jnp.where(ok, s, _NEG_INF)
-        p = jnp.exp(s - lse)
+        s2 = jnp.where(ok, s2, _NEG_INF)
+        p = jnp.exp2(s2 - lse2)
         dv_scr[:] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            do, vt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         ds = (p * (dp - delta)).astype(q.dtype)
         dk_scr[:] += jax.lax.dot_general(
@@ -307,9 +315,19 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
 
     qblk = lambda b, g, iq, kb, lens: (b, g, iq, 0)
     lseblk = lambda b, g, iq, kb, lens: (b, g, 0, iq)
+    # K/V transposed once ([B, D, S]) for the canonical score/dP dots in
+    # both kernels (round-4 retune; the copies are ~0.01 ms at prefill
+    # shapes). The dQ accumulation still wants [bk, D] K, so dq streams
+    # K in both layouts — small blocks, and the score-dot transpose it
+    # removes was per (iq, kb) program.
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
 
     def kv_idx(b, g, iq, kb, lens):
         return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
+
+    def kt_idx(b, g, iq, kb, lens):
+        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)))
 
     dq = pl.pallas_call(
         functools.partial(
@@ -320,8 +338,9 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
             grid=(B, G, nq, nk),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), qblk),
+                pl.BlockSpec((1, D, bk), kt_idx),
                 pl.BlockSpec((1, bk, D), kv_idx),
-                pl.BlockSpec((1, bk, D), kv_idx),
+                pl.BlockSpec((1, D, bk), kt_idx),
                 pl.BlockSpec((1, 1, bq, D), qblk),
                 pl.BlockSpec((1, 1, 1, bq), lseblk),
                 pl.BlockSpec((1, 1, 1, bq), lseblk),
@@ -334,7 +353,7 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, kt, k, vt, do, lse, delta)
 
     # dead iq blocks (entirely above the diagonal for this KV block) clamp
     # to the first live one: same index => the pipeline skips the re-fetch
@@ -345,6 +364,7 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
         return (b, g, 0, jnp.maximum(iq, (kb * bk) // bq))
 
     kv_of_b = lambda b, kb, g, iq, lens: (b, kb, 0)
+    kt_of_b = lambda b, kb, g, iq, lens: (b, 0, kb)
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
@@ -355,8 +375,8 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
             grid=(B, nk, G, nq),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), q_idx),
-                pl.BlockSpec((1, bk, D), kv_of_b),
-                pl.BlockSpec((1, bk, D), kv_of_b),
+                pl.BlockSpec((1, D, bk), kt_of_b),
+                pl.BlockSpec((1, D, bk), kt_of_b),
                 pl.BlockSpec((1, 1, bq, D), q_idx),
                 pl.BlockSpec((1, 1, 1, bq), lse_idx),
                 pl.BlockSpec((1, 1, 1, bq), lse_idx),
@@ -378,7 +398,7 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
             dimension_semantics=("parallel", "arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(lengths, q, k, v, do, lse, delta)
+    )(lengths, q, kt, vt, do, lse, delta)
     return dq, dk, dv
 
 
