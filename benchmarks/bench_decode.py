@@ -54,6 +54,11 @@ def main() -> None:
         "needs a ~30+ min Mosaic compile budget)",
     )
     ap.add_argument(
+        "--bk", type=int, default=0,
+        help="megakernel KV-block override (0 = auto/512; smaller frees "
+        "cache-buffer VMEM so NC=512 fits at b=16)",
+    )
+    ap.add_argument(
         "--no_kv_pack", action="store_true",
         help="keep the int8 KV container at kv_bits<=4 (every decode path "
         "including the megakernel streams the packed container since "
@@ -68,6 +73,7 @@ def main() -> None:
         use_megakernel=args.megakernel,
         kv_cache_pack=not args.no_kv_pack,
         megakernel_nc=args.nc,
+        megakernel_bk=args.bk,
     )
     if args.layers:
         cfg = cfg.replace(num_hidden_layers=args.layers)

@@ -82,7 +82,7 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
         return False
     if c.hidden_size // nc < 2:
         return False
-    bk = _pick_bk(max_len)
+    bk = _pick_bk(max_len, c.megakernel_bk)
     if max_len % bk:
         return False
     return True
@@ -106,7 +106,9 @@ def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
         ) * nc
         hdc = c.head_dim // 2 if (c.kv_cache_pack and c.kv_bits <= 4) \
             else c.head_dim
-        kvbufs = 2 * 2 * b * c.kv_heads * hdc * _pick_bk(max_len)
+        kvbufs = 2 * 2 * b * c.kv_heads * hdc * _pick_bk(
+            max_len, c.megakernel_bk
+        )
         if (g % nc == 0 and c.hidden_size // nc >= 2
                 and west + kvbufs <= 14 * 2 ** 20):
             return nc
@@ -122,8 +124,8 @@ def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
     return nc
 
 
-def _pick_bk(max_len: int) -> int:
-    bk = 512
+def _pick_bk(max_len: int, override: int = 0) -> int:
+    bk = override if override and max_len % override == 0 else 512
     while max_len % bk:
         bk //= 2
     return max(bk, 1)
@@ -712,7 +714,7 @@ def decode_step(
     kv_dim = kvh * hd
     Dq = H + 2 * kv_dim
     NC = _pick_nc(c, b, S)
-    BK = _pick_bk(S)
+    BK = _pick_bk(S, c.megakernel_bk)
     BM = max(32, -(-b // 8) * 8)
     rope = c.kv_cache_rope != "post"
     groups_ = c.num_attention_heads // kvh

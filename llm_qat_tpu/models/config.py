@@ -68,6 +68,10 @@ class LlamaConfig:
     # loop overhead but multiplies Mosaic compile time — NC=512 passes
     # interpret tests but needs a ~30+ min compile budget (DESIGN.md).
     megakernel_nc: int = 0
+    # Megakernel KV-block override (0 = auto: largest power of two <= 512
+    # dividing max_len). Smaller BK halves the double-buffered cache
+    # VMEM — the lever that lets NC=512 fit at b=16 (DESIGN.md).
+    megakernel_bk: int = 0
     fused_qat_matmul: bool = False     # int8-MXU fused fake-quant matmul (QAT fwd)
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False
