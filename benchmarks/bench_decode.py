@@ -36,10 +36,6 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=64)
     ap.add_argument("--no_kernel", action="store_true", help="XLA decode path")
     ap.add_argument(
-        "--unrolled", action="store_true",
-        help="static-layer-indexed unrolled decode (inference/unrolled.py)",
-    )
-    ap.add_argument(
         "--megakernel", action="store_true", default=True,
         help="whole-model decode megakernel (inference/megakernel.py) — "
         "the shipped default since round 4",
@@ -69,7 +65,6 @@ def main() -> None:
     cfg = TINYLLAMA_1B.replace(
         w_bits=args.w, a_bits=8, kv_bits=args.kv,
         use_decode_kernel=not args.no_kernel,
-        use_unrolled_decode=args.unrolled,
         use_megakernel=args.megakernel,
         kv_cache_pack=not args.no_kv_pack,
         megakernel_nc=args.nc,

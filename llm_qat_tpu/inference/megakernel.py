@@ -88,6 +88,30 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     return True
 
 
+def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int) -> int:
+    """Bytes of scoped VMEM the kernel will ask Mosaic for at chunk width
+    ``nc``: double-buffered weight chunks + double-buffered KV cache blocks
+    + the activation/softmax scratch and in-VMEM rope tables (the latter
+    scale with b, I and S and were previously ignored — ADVICE round 4)."""
+    H, I = c.hidden_size, c.intermediate_size
+    nh, kvh, hd = c.num_attention_heads, c.kv_heads, c.head_dim
+    dq = H + 2 * kvh * hd
+    wdiv = 2 if c.w_bits == 4 else 1
+    bk = _pick_bk(max_len, c.megakernel_bk)
+    west = 2 * (H // wdiv) * nc + 2 * (I // wdiv) * nc
+    hdc = hd // 2 if (c.kv_cache_pack and c.kv_bits <= 4) else hd
+    kvbufs = 2 * 2 * b * kvh * hdc * bk + 2 * 2 * b * bk * 4  # +k/v scales
+    bm = max(32, -(-b // 8) * 8)
+    scratch = (
+        b * (2 * H + dq + 2 * I) * 2      # h, attn, qkv, gu (bf16)
+        + bm * max(H, I)                  # int8 activation buffer
+        + 3 * b * nh * hd * 4             # qrot, q4, o-acc (f32)
+        + nh * bk * 4                     # score scratch
+        + 2 * max_len * (hd // 2) * 4     # kcos/ksin cache rope tables
+    )
+    return west + kvbufs + scratch
+
+
 def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
     import math
 
@@ -95,23 +119,25 @@ def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
     if c.megakernel_nc:
         # explicit override (config.megakernel_nc): honored when it
-        # divides every stage width AND the double-buffered weight +
-        # cache buffers leave scoped-VMEM headroom (measured: b=16 W8 at
-        # NC=512 exceeds the 16 MB limit by 1.16 MB — b=8 fits), else
-        # fall through to auto
+        # divides every stage width AND the full VMEM estimate (weights +
+        # cache double-buffers + scratch + rope tables) leaves headroom
+        # under Mosaic's 16 MB scoped-vmem limit (measured: b=16 W8 at
+        # NC=512/BK=512 exceeds it by 1.16 MB; BK=256 fits), else WARN
+        # and fall through to auto — a silently dropped override would
+        # make benchmarks report auto-NC numbers as if it applied
         nc = c.megakernel_nc
-        wdiv = 2 if c.w_bits == 4 else 1
-        west = 2 * (c.hidden_size // wdiv) * nc + 2 * (
-            c.intermediate_size // wdiv
-        ) * nc
-        hdc = c.head_dim // 2 if (c.kv_cache_pack and c.kv_bits <= 4) \
-            else c.head_dim
-        kvbufs = 2 * 2 * b * c.kv_heads * hdc * _pick_bk(
-            max_len, c.megakernel_bk
-        )
         if (g % nc == 0 and c.hidden_size // nc >= 2
-                and west + kvbufs <= 14 * 2 ** 20):
+                and _vmem_estimate(c, b, max_len, nc) <= 15_500_000):
             return nc
+        import warnings
+        warnings.warn(
+            f"megakernel_nc={nc} rejected for b={b}, max_len={max_len} "
+            f"(divisibility or VMEM estimate "
+            f"{_vmem_estimate(c, b, max_len, nc) / 2**20:.1f} MiB > 14.8 "
+            f"MiB headroom); falling back to auto NC — benchmark numbers "
+            f"will reflect the auto choice",
+            stacklevel=3,
+        )
     nc = 256
     while nc > g or g % nc:
         nc //= 2

@@ -300,17 +300,6 @@ def _forward(
     b, s = input_ids.shape
     max_len = cache["k_q"].shape[4]  # K is transposed [L, b, kvh, hd, S]
 
-    # use_unrolled_decode is an explicit opt-in (default off) and takes
-    # precedence over the default-on megakernel so it stays reachable
-    if s == 1 and c.use_unrolled_decode and tp_axis is None:
-        # static-layer-indexed kernels over the stacked weights/cache — no
-        # per-layer HBM slice copies (inference/unrolled.py)
-        from llm_qat_tpu.inference import unrolled
-
-        return unrolled.decode_step(
-            qparams, c, input_ids, seq_lens, active, cache, dtype
-        )
-
     if s == 1 and c.use_megakernel and tp_axis is None:
         from llm_qat_tpu.inference import megakernel
 

@@ -91,9 +91,21 @@ class MultiHostServingDriver:
     def submit(self, prompt: Sequence[int], **kw) -> int:
         """Assigns the next global uid; enqueues locally iff this host owns
         it. Every host must call submit() with the same request stream (the
-        loopback analog of a broadcast frontend). Returns the global uid."""
+        loopback analog of a broadcast frontend). Returns the global uid.
+
+        Every host folds (uid, prompt) into a running CRC digest — including
+        prompts it does NOT own — so ``run()`` can cross-check that all
+        hosts actually saw the same stream: a divergent stream would
+        otherwise silently mis-partition (a prompt served on the wrong
+        host, or twice/never) with no error (ADVICE round 4)."""
         uid = self._next_uid
         self._next_uid += 1
+        import zlib
+
+        payload = np.asarray([uid, len(prompt), *prompt], np.int64).tobytes()
+        self._stream_digest = zlib.crc32(
+            payload, getattr(self, "_stream_digest", 0)
+        )
         if self.owner(uid) == self.process_index:
             local_uid = self.engine.submit(prompt, **kw)
             # remap the engine's local uid to the global one at retirement
@@ -101,9 +113,30 @@ class MultiHostServingDriver:
             self._local_to_global[local_uid] = uid
         return uid
 
+    def check_stream_consistency(self) -> None:
+        """All-gather the per-host stream digest and fail loudly if any
+        host saw a different (uid, prompt) stream. One tiny DCN collective
+        — called at drain time, never on the decode hot path."""
+        if self.process_count == 1:
+            return
+        from jax.experimental import multihost_utils
+
+        mine = np.asarray(
+            [getattr(self, "_stream_digest", 0), self._next_uid], np.int64
+        )
+        every = np.asarray(multihost_utils.process_allgather(mine))
+        if not (every == mine[None]).all():
+            raise RuntimeError(
+                "multi-host request streams diverged: per-host "
+                f"(digest, count) = {every.tolist()} — every process must "
+                "call submit() with an identical request stream"
+            )
+
     def run(self) -> List[Request]:
-        """Drain this host's engine; rewrites uids to the global ids."""
+        """Drain this host's engine; rewrites uids to the global ids.
+        Verifies stream consistency across hosts before returning."""
         finished = self.engine.run()
+        self.check_stream_consistency()
         mapping = getattr(self, "_local_to_global", {})
         for r in finished:
             r.uid = mapping.get(r.uid, r.uid)

@@ -407,7 +407,7 @@ def _decode_attn_stacked_kernel(
     def _():
         # fold the CURRENT token's (K, V) as one extra online-softmax pair —
         # the cache stays read-only; its row is written once, post-loop, by
-        # the caller (inference/unrolled.py). Slots with inc == 0 (inactive)
+        # the caller. Slots with inc == 0 (inactive)
         # exclude the pair.
         inc = inc_ref[ib] > 0
         for h in range(kvh):

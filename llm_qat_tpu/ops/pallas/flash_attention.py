@@ -57,6 +57,22 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _fit_block(target: int, s: int) -> int:
+    """Largest block <= target that divides ``s`` (lane-aligned when s is).
+
+    Applied inside ``_flash_fwd``/``_flash_bwd`` so every public entry
+    (``flash_attention``, ``flash_attention_gqa``, ``flash_attention_bhsd``)
+    gets a valid grid: a direct caller with S=512 at the bk=1024 default
+    previously got nk=0 (kernel never ran, output unwritten) and S=1536
+    silently attended only the first 1024 keys (ADVICE round 4)."""
+    t = min(target, s)
+    while s % t:
+        t = t - t % 128 - 128 if t > 128 else t - 1
+    if t < 1:
+        raise ValueError(f"cannot block seq len {s}")
+    return t
+
+
 def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int):
     """Last KV block index that is causally live for query block ``iq`` and
     within ``length`` (clamped to >=1 so empty rows still read block 0)."""
@@ -135,6 +151,7 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
     Returns ([B, G, S, D], lse [B, G, 1, S])."""
     B, G, S, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    bq, bk = _fit_block(bq, S), _fit_block(bk, S)
     nq, nk = S // bq, S // bk
     grid = (B, G, nq, nk)
     # K streams transposed [B, D, S] so the in-kernel score dot is the
@@ -308,6 +325,7 @@ def _flash_bwd_dkv_kernel(
 def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
     B, G, S, D = q.shape
     scale = 1.0 / (D ** 0.5)
+    bq, bk = _fit_block(bq, S), _fit_block(bk, S)
     nq, nk = S // bq, S // bk
     delta = jnp.sum(
         do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
@@ -481,17 +499,8 @@ def flash_attention(
     )
     fold = lambda x: x.transpose(0, 2, 1, 3).reshape(b * kvh, s, d)
 
-    def fit(target: int) -> int:
-        """Largest block <= target that divides s (lane-aligned when s is)."""
-        t = min(target, s)
-        while s % t:
-            t = t - t % 128 - 128 if t > 128 else t - 1
-        return t
-
-    bq_eff = fit(bq)
-    bk_eff = fit(bk)
-    if bq_eff < 1:
-        raise ValueError(f"cannot block seq len {s}")
+    bq_eff = _fit_block(bq, s)
+    bk_eff = _fit_block(bk, s)
     if lengths is None:
         lens_B = jnp.full((b * kvh,), s, jnp.int32)
     else:

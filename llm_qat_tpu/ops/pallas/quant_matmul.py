@@ -238,11 +238,11 @@ def int8_matmul_stacked(
 ) -> jax.Array:
     """`int8_matmul` reading layer ``layer`` of a stacked weight in place.
 
-    The unrolled decode path (inference/unrolled.py) passes the full
-    ``[L, K, N]`` array and selects the layer *statically in the index map*:
-    no XLA-level slice exists, so nothing is copied before the custom call —
-    the fix for the scan path's per-layer HBM slice copies (DESIGN.md
-    "Decode speed-of-light study")."""
+    Callers pass the full ``[L, K, N]`` array and select the layer
+    *statically in the index map*: no XLA-level slice exists, so nothing is
+    copied before the custom call — the fix for the scan path's per-layer
+    HBM slice copies (DESIGN.md "Decode speed-of-light study"; originally
+    built for the since-deleted unrolled study variant)."""
     M, K = xq.shape
     L, K2, N = wq_all.shape
     assert K == K2 and 0 <= layer < L, (xq.shape, wq_all.shape, layer)

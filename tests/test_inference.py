@@ -264,10 +264,11 @@ def test_serving_honors_a_bits(a_bits):
 
 
 @pytest.mark.slow
-def test_serving_a6_decode_scan_unrolled_agree():
-    """The scan and unrolled decode paths must agree at a_bits=6 — they
-    previously disagreed (scan hardcoded A8)."""
-    from tests.test_unrolled import _prefilled
+def test_serving_a6_decode_kernel_scan_agree():
+    """The fused decode kernel and the plain-XLA decode path must agree at
+    a_bits=6 — the kernel previously hardcoded A8. (Formerly checked via
+    the unrolled study variant, deleted in round 5.)"""
+    from tests.serving_helpers import _prefilled
 
     cfg = TINY_TEST.replace(w_bits=8, a_bits=6, kv_bits=8)
     params = llama.init_params(cfg, jax.random.PRNGKey(0))
@@ -279,12 +280,12 @@ def test_serving_a6_decode_scan_unrolled_agree():
     lg_scan, _ = M.serving_forward(
         qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
     )
-    lg_unr, _ = M.serving_forward(
-        qparams, cfg.replace(use_unrolled_decode=True), tok,
-        cache["lengths"], active, cache, dtype=jnp.float32,
+    lg_xla, _ = M.serving_forward(
+        qparams, cfg.replace(use_decode_kernel=False, use_megakernel=False),
+        tok, cache["lengths"], active, cache, dtype=jnp.float32,
     )
     np.testing.assert_allclose(
-        np.asarray(lg_unr), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+        np.asarray(lg_xla), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
     )
 
 

@@ -11,7 +11,7 @@ from llm_qat_tpu.inference import quantized as Q
 from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import TINY_TEST
 
-from tests.test_unrolled import _prefilled
+from tests.serving_helpers import _prefilled
 
 # megakernel needs NC | {H, Dq, 2I}: TINY_TEST dims already satisfy this on
 # the interpret path (NC becomes the gcd). use_megakernel defaults ON since
