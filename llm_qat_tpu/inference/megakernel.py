@@ -74,7 +74,7 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
         return False
     if b > 32:
         return False
-    nc = _pick_nc(c, b, max_len)
+    nc, bk = _pick_nc_bk(c, b, max_len)
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     if nc < 128 and not _interpret():
         return False
@@ -82,22 +82,32 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
         return False
     if c.hidden_size // nc < 2:
         return False
-    bk = _pick_bk(max_len, c.megakernel_bk)
     if max_len % bk:
+        return False
+    # the double-buffered weight + cache + scratch VMEM must fit Mosaic's
+    # 16 MB scoped-vmem budget (e.g. 7B-MHA W8A8KV8 at b=8 needs ~17 MB of
+    # KV buffers alone even at BK=128 — that config serves via the scan
+    # path instead of failing a 30-min compile)
+    if _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET:
         return False
     return True
 
 
-def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int) -> int:
+# Mosaic's scoped-vmem hard limit is 16 MiB; the estimate below overshoots
+# real usage by ~1 MiB at measured shapes, so budget slightly under
+_VMEM_BUDGET = 15_500_000
+
+
+def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int, bk: int) -> int:
     """Bytes of scoped VMEM the kernel will ask Mosaic for at chunk width
-    ``nc``: double-buffered weight chunks + double-buffered KV cache blocks
-    + the activation/softmax scratch and in-VMEM rope tables (the latter
-    scale with b, I and S and were previously ignored — ADVICE round 4)."""
+    ``nc`` and KV block ``bk``: double-buffered weight chunks +
+    double-buffered KV cache blocks + the activation/softmax scratch and
+    in-VMEM rope tables (the latter scale with b, I and S and were
+    previously ignored — ADVICE round 4)."""
     H, I = c.hidden_size, c.intermediate_size
     nh, kvh, hd = c.num_attention_heads, c.kv_heads, c.head_dim
     dq = H + 2 * kvh * hd
     wdiv = 2 if c.w_bits == 4 else 1
-    bk = _pick_bk(max_len, c.megakernel_bk)
     west = 2 * (H // wdiv) * nc + 2 * (I // wdiv) * nc
     hdc = hd // 2 if (c.kv_cache_pack and c.kv_bits <= 4) else hd
     kvbufs = 2 * 2 * b * kvh * hdc * bk + 2 * 2 * b * bk * 4  # +k/v scales
@@ -112,11 +122,47 @@ def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int) -> int:
     return west + kvbufs + scratch
 
 
-def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
+def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int]:
+    """Jointly choose the weight-chunk width NC and KV block BK so the
+    kernel's scoped VMEM fits Mosaic's budget.
+
+    NC: explicit override honored when it divides every stage width and
+    fits (else warn + auto); auto = largest power of two <= 256 dividing
+    {Dq, H, 2I}. BK: explicit override honored when it divides max_len;
+    auto = 512 halved (floor 128 — smaller minor dims hit Mosaic's
+    lane-padded-DMA rejections) until the estimate fits. MHA shapes
+    (kvh=32, hd=128) need BK=128: at BK=512 the KV double buffers alone
+    would be ~33 MB (VERDICT r4 next #1)."""
     import math
 
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
+
+    def auto_nc() -> int:
+        nc = 256
+        while nc > g or g % nc:
+            nc //= 2
+            if nc == 0:
+                return g
+        # the down stage needs >= 2 chunks (its double buffer primes the
+        # next layer's pipeline)
+        while nc > 1 and c.hidden_size // nc < 2 and nc % 2 == 0:
+            nc //= 2
+        return nc
+
+    def auto_bk(nc: int) -> int:
+        bk = (
+            c.megakernel_bk
+            if c.megakernel_bk and max_len % c.megakernel_bk == 0
+            else 512
+        )
+        while max_len % bk:
+            bk //= 2
+        if not c.megakernel_bk:
+            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET:
+                bk //= 2
+        return max(bk, 1)
+
     if c.megakernel_nc:
         # explicit override (config.megakernel_nc): honored when it
         # divides every stage width AND the full VMEM estimate (weights +
@@ -126,35 +172,31 @@ def _pick_nc(c: LlamaConfig, b: int, max_len: int) -> int:
         # and fall through to auto — a silently dropped override would
         # make benchmarks report auto-NC numbers as if it applied
         nc = c.megakernel_nc
+        bk = auto_bk(nc)
         if (g % nc == 0 and c.hidden_size // nc >= 2
-                and _vmem_estimate(c, b, max_len, nc) <= 15_500_000):
-            return nc
+                and _vmem_estimate(c, b, max_len, nc, bk) <= _VMEM_BUDGET):
+            return nc, bk
         import warnings
         warnings.warn(
             f"megakernel_nc={nc} rejected for b={b}, max_len={max_len} "
             f"(divisibility or VMEM estimate "
-            f"{_vmem_estimate(c, b, max_len, nc) / 2**20:.1f} MiB > 14.8 "
-            f"MiB headroom); falling back to auto NC — benchmark numbers "
-            f"will reflect the auto choice",
+            f"{_vmem_estimate(c, b, max_len, nc, bk) / 2**20:.1f} MiB > "
+            f"{_VMEM_BUDGET / 2**20:.1f} MiB budget); falling back to auto "
+            f"NC — benchmark numbers will reflect the auto choice",
             stacklevel=3,
         )
-    nc = 256
-    while nc > g or g % nc:
+    nc = auto_nc()
+    bk = auto_bk(nc)
+    # if the BK floor (128) alone can't fit the budget, trade chunk width
+    # for headroom: halving NC halves the weight double-buffers (13B-class
+    # shapes at small b land here)
+    while (
+        _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET
+        and nc > 128 and nc % 2 == 0 and c.hidden_size // (nc // 2) >= 2
+    ):
         nc //= 2
-        if nc == 0:
-            return g
-    # the down stage needs >= 2 chunks (its double buffer primes the next
-    # layer's pipeline)
-    while nc > 1 and c.hidden_size // nc < 2 and nc % 2 == 0:
-        nc //= 2
-    return nc
-
-
-def _pick_bk(max_len: int, override: int = 0) -> int:
-    bk = override if override and max_len % override == 0 else 512
-    while max_len % bk:
-        bk //= 2
-    return max(bk, 1)
+        bk = auto_bk(nc)
+    return nc, bk
 
 
 def _kernel(
@@ -739,8 +781,7 @@ def decode_step(
     I = c.intermediate_size
     kv_dim = kvh * hd
     Dq = H + 2 * kv_dim
-    NC = _pick_nc(c, b, S)
-    BK = _pick_bk(S, c.megakernel_bk)
+    NC, BK = _pick_nc_bk(c, b, S)
     BM = max(32, -(-b // 8) * 8)
     rope = c.kv_cache_rope != "post"
     groups_ = c.num_attention_heads // kvh

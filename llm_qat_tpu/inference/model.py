@@ -143,6 +143,53 @@ def _write_kv(cache_q, cache_s, new, write_pos, kvh, hd, kv_bits,
     return cache_q, cache_s
 
 
+def _quant_kv_cols(new, kvh, hd, kv_bits, tp_axis=None):
+    """Quantize one decode step's K or V per-token WITHOUT touching the
+    cache: ``new`` [b, 1, kvh*hd] -> (int8 columns [b, kvh, hd], inverse
+    scales [b, 1]). Same numerics as `_write_kv` (the committed integers
+    are bit-identical); under TP the scale uses the global absmax."""
+    b = new.shape[0]
+    amax = None
+    if tp_axis is not None:
+        amax = jax.lax.pmax(
+            jnp.max(jnp.abs(new), axis=-1, keepdims=True), tp_axis
+        )
+    nq, ns = Q.quantize_kv(new, kv_bits, amax=amax)  # [b,1,kv], [b,1,1]
+    inv = (1.0 / (ns + 1e-6))[:, 0]                  # [b, 1]
+    return nq[:, 0].reshape(b, kvh, hd), inv
+
+
+def commit_kv_columns(k_q, k_s, v_q, v_s, k_cols, v_cols, k_invs, v_invs,
+                      write_pos, packed):
+    """Write one quantized K/V column per (layer, slot) into the stacked
+    transposed cache — the single small write a decode step makes now that
+    attention folds the current pair in-kernel (the scan path used to
+    rewrite the ENTIRE cache through the layer scan's ys every step: 2x
+    the cache HBM traffic and an extra full-cache buffer, which OOM'd 7B
+    KV8 serving on one chip — round 5).
+
+    k_cols/v_cols [L, b, kvh, hd] int8; k_invs/v_invs [L, b, 1] f32;
+    write_pos [b] (inactive slots point at the scratch row S-1)."""
+    L, b, kvh, hd = k_cols.shape
+    kq_cols = k_cols.reshape(L, b, kvh, hd, 1)
+    vq_cols = v_cols.reshape(L, b, kvh, hd, 1)
+    if packed:
+        kq_cols = _pack_nibbles(kq_cols, axis=3)     # [L, b, kvh, hd/2, 1]
+        vq_cols = _pack_nibbles(vq_cols, axis=3)
+
+    def upd_k(cq, col, wp):
+        return jax.lax.dynamic_update_slice(cq, col, (0, 0, 0, wp))
+
+    def upd_s(cs, val, wp):
+        return jax.lax.dynamic_update_slice(cs, val, (0, wp))
+
+    k_q2 = jax.vmap(upd_k, in_axes=(1, 1, 0), out_axes=1)(k_q, kq_cols, write_pos)
+    v_q2 = jax.vmap(upd_k, in_axes=(1, 1, 0), out_axes=1)(v_q, vq_cols, write_pos)
+    k_s2 = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(k_s, k_invs, write_pos)
+    v_s2 = jax.vmap(upd_s, in_axes=(1, 1, 0), out_axes=1)(v_s, v_invs, write_pos)
+    return k_q2, k_s2, v_q2, v_s2
+
+
 def _dequant_transposed(cq, cs, dtype, packed=False):
     """[b, kvh, hd(/2), S] int (transposed K) + [b, S] -> [b, S, kvh, hd]."""
     if packed:
@@ -205,12 +252,26 @@ def _serving_layer(
         kh = llama.apply_rope(k.reshape(b, s, kvh, hd), qcos, qsin)
         k = kh.reshape(b, s, kvh * hd)
 
-    # quantize new K/V per-token and write ("pre" = training hook point,
-    # pre-RoPE integers, modeling_llama_quant.py:320-333); both transposed
-    k_q, k_s, fq_k = _write_kv(k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
-                               transposed=True, return_fq=True, packed=packed)
-    v_q, v_s, fq_v = _write_kv(v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis,
-                               transposed=True, return_fq=True, packed=packed)
+    fold_decode = s == 1 and c.use_decode_kernel and not flash_prefill
+    if fold_decode:
+        # decode: quantize the current K/V but DON'T write — the kernel
+        # folds the pair in-kernel and the caller commits all layers'
+        # columns post-scan (one small write per step instead of a full
+        # cache rewrite through the scan's ys)
+        k_cols, k_inv = _quant_kv_cols(k, kvh, hd, kb, tp_axis)
+        v_cols, v_inv = _quant_kv_cols(v, kvh, hd, kb, tp_axis)
+    else:
+        # quantize new K/V per-token and write ("pre" = training hook
+        # point, pre-RoPE integers, modeling_llama_quant.py:320-333);
+        # both transposed
+        k_q, k_s, fq_k = _write_kv(
+            k_q, k_s, k, write_pos, kvh, hd, kb, tp_axis,
+            transposed=True, return_fq=True, packed=packed,
+        )
+        v_q, v_s, fq_v = _write_kv(
+            v_q, v_s, v, write_pos, kvh, hd, kb, tp_axis,
+            transposed=True, return_fq=True, packed=packed,
+        )
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
@@ -225,12 +286,19 @@ def _serving_layer(
         if not post_rope:
             kf = llama.apply_rope(kf, qcos, qsin)
         attn = flash_attention(qh.astype(dtype), kf, vf)
-    elif s == 1 and c.use_decode_kernel:
+    elif fold_decode:
         # fused decode kernel: int8 cache blocks stream to VMEM; dequant +
-        # K-RoPE + online softmax in-kernel; per-slot early exit at length
+        # K-RoPE + online softmax in-kernel; per-slot early exit at length.
+        # The cache is READ-ONLY here — the current pair rides `fold` and
+        # lengths are the PRE-append lengths (new_len-1 for active slots)
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
+        old_len = positions[:, 0]
         attn = DA.quantized_decode_attention(
-            qh[:, 0], k_q, k_s, v_q, v_s, new_len, kc, ksn,
+            qh[:, 0], k_q, k_s, v_q, v_s, old_len, kc, ksn,
+            fold=(
+                k_cols, k_inv, v_cols, v_inv, new_len > old_len,
+                qcos[:, 0, : hd // 2], qsin[:, 0, : hd // 2],
+            ),
             theta=c.rope_theta, rope=not post_rope, packed=packed,
         ).reshape(b, 1, nh * hd)
     else:
@@ -270,6 +338,8 @@ def _serving_layer(
         jax.nn.silu(gate) * up, lq["down"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
+    if fold_decode:
+        return h + x, (k_cols, k_inv, v_cols, v_inv)
     return h + x, (k_q, k_s, v_q, v_s)
 
 
@@ -337,7 +407,19 @@ def _forward(
         qparams["layers"],
         cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
     )
-    h, (k_q, k_s, v_q, v_s) = jax.lax.scan(body, h, layer_xs)
+    fold_decode = s == 1 and c.use_decode_kernel
+    if fold_decode:
+        # decode: the scan reads the cache in place and emits only each
+        # layer's quantized current-token columns; ONE stacked commit
+        # follows (cf. megakernel.decode_step) — the previous full-cache
+        # ys doubled the cache footprint and its HBM write traffic
+        h, (k_cols, k_invs, v_cols, v_invs) = jax.lax.scan(body, h, layer_xs)
+        k_q, k_s, v_q, v_s = commit_kv_columns(
+            cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
+            k_cols, v_cols, k_invs, v_invs, write_pos, cache_is_packed(c),
+        )
+    else:
+        h, (k_q, k_s, v_q, v_s) = jax.lax.scan(body, h, layer_xs)
 
     h = llama.rms_norm(h, qparams["final_norm"], c.rms_norm_eps)
     head = (

@@ -121,10 +121,16 @@ class MultiHostServingDriver:
             return
         from jax.experimental import multihost_utils
 
-        mine = np.asarray(
-            [getattr(self, "_stream_digest", 0), self._next_uid], np.int64
-        )
-        every = np.asarray(multihost_utils.process_allgather(mine))
+        # int32 domain throughout: process_allgather rides jnp arrays, which
+        # truncate int64 under the default x64-off config — a uint32 crc
+        # would "differ" from its own int32 round-trip
+        mine = (
+            np.asarray(
+                [getattr(self, "_stream_digest", 0), self._next_uid],
+                np.uint32,
+            )
+        ).astype(np.int32)
+        every = np.asarray(multihost_utils.process_allgather(mine), np.int32)
         if not (every == mine[None]).all():
             raise RuntimeError(
                 "multi-host request streams diverged: per-host "

@@ -53,15 +53,20 @@ def _interpret() -> bool:
 
 
 def _decode_attn_kernel(
-    # scalar prefetch
+    # scalar prefetch (act_ref present only when fold)
     lens_ref,                      # [b] int32 in SMEM
-    # inputs (cos_ref/sin_ref present only when rope and tables):
+    # inputs (cos_ref/sin_ref present only when rope and tables; the
+    # fold refs only when fold):
     #   q_ref   [1, kvh, groups, hd]
     #   kq_ref  [1, kvh, hd, bk] int8 (transposed K)
     #   ks_ref  [1, 1, bk] f32 (inverse scales, lane-major)
     #   vq_ref  [1, kvh, hd, bk] int8 (transposed, same layout as K)
     #   vs_ref  [1, 1, bk] f32
     #   cos_ref/sin_ref [hd/2, bk] f32 — hoisted RoPE tables (transposed)
+    #   knew_ref [1, kvh, hd] int8 — current token's quantized K (unpacked)
+    #   kinv_ref [1, 1] f32 — its per-token inverse scale
+    #   vnew_ref [1, kvh, hd] int8, vinv_ref [1, 1] f32
+    #   qc_ref/qs_ref [1, hd/2] f32 — cos/sin at the slot's position
     # outputs: o_ref [1, kvh, groups, hd]
     # scratch: m_ref/l_ref [kvh, groups, 1] f32, acc_ref [kvh, groups, hd]
     *refs,
@@ -71,13 +76,23 @@ def _decode_attn_kernel(
     rope: bool = True,
     tables: bool = False,
     packed: bool = False,
+    fold: bool = False,
 ):
+    refs = list(refs)
+    if fold:
+        act_ref = refs.pop(0)
+    q_ref, kq_ref, ks_ref, vq_ref, vs_ref = refs[:5]
+    rest = refs[5:]
     if rope and tables:
-        (q_ref, kq_ref, ks_ref, vq_ref, vs_ref, cos_ref, sin_ref,
-         o_ref, m_ref, l_ref, acc_ref) = refs
-    else:
-        (q_ref, kq_ref, ks_ref, vq_ref, vs_ref,
-         o_ref, m_ref, l_ref, acc_ref) = refs
+        cos_ref, sin_ref = rest[:2]
+        rest = rest[2:]
+    if fold:
+        knew_ref, kinv_ref, vnew_ref, vinv_ref = rest[:4]
+        rest = rest[4:]
+        if rope:
+            qc_ref, qs_ref = rest[:2]
+            rest = rest[2:]
+    o_ref, m_ref, l_ref, acc_ref = rest
 
     ib = pl.program_id(0)
     kb = pl.program_id(1)
@@ -90,7 +105,11 @@ def _decode_attn_kernel(
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    @pl.when(kb < n_valid)
+    # kb*bk < length (not kb < n_valid): with fold the cache may be EMPTY
+    # (length 0, first decode of a fresh slot) — the block must be skipped
+    # entirely or its fully-masked s == _NEG_INF rows poison l with
+    # exp(0) = 1 per masked column
+    @pl.when(kb * bk < length)
     def _():
         kvh, groups, hd = q_ref.shape[1:]
         h2 = hd // 2
@@ -192,6 +211,56 @@ def _decode_attn_kernel(
 
     @pl.when(kb == jnp.maximum(n_valid - 1, 0))
     def _():
+        if fold:
+            # fold the CURRENT token's (K, V) as one extra online-softmax
+            # pair — the cache stays read-only and the caller commits the
+            # integers post-scan (megakernel.py's fold, ported so the scan
+            # serving path stops rewriting the whole cache every step).
+            # Slots with act == 0 (inactive) exclude the pair.
+            kvh, groups, hd = q_ref.shape[1:]
+            h2 = hd // 2
+            ct = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+            inc = act_ref[ib] != 0
+            kinv = kinv_ref[0]                             # [1, 1] f32
+            vinv = vinv_ref[0].astype(ct)
+            if rope:
+                cc_i = (qc_ref[0] * kinv).astype(ct)       # [1, h2]
+                ss_i = (qs_ref[0] * kinv).astype(ct)
+            for h in range(kvh):
+                kih = knew_ref[0, h:h + 1, :]              # [1, hd] int8
+                if rope:
+                    k1 = kih[:, :h2].astype(ct)
+                    k2 = kih[:, h2:].astype(ct)
+                    k_fold = jnp.concatenate(
+                        [k1 * cc_i - k2 * ss_i, k2 * cc_i + k1 * ss_i],
+                        axis=-1,
+                    ).astype(jnp.float32)                  # [1, hd]
+                else:
+                    k_fold = (kih.astype(ct) * kinv.astype(ct)).astype(
+                        jnp.float32
+                    )
+                v_fold = (
+                    vnew_ref[0, h:h + 1, :].astype(ct) * vinv
+                ).astype(jnp.float32)                      # [1, hd]
+                qf = q_ref[0, h].astype(jnp.float32)       # [groups, hd]
+                s_cur = jax.lax.dot_general(
+                    qf, k_fold, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                                  # [groups, 1]
+                s_cur = jnp.where(inc, s_cur, _NEG_INF)
+                m_prev = m_ref[h]
+                l_prev = l_ref[h]
+                m_new = jnp.maximum(m_prev, s_cur)
+                alpha = jnp.exp(m_prev - m_new)
+                # zero (not exp(-NEG_INF - -NEG_INF) = 1) where inactive —
+                # the token doesn't exist for that slot
+                p = jnp.where(inc, jnp.exp(s_cur - m_new), 0.0)
+                m_ref[h] = m_new
+                l_ref[h] = l_prev * alpha + p
+                acc_ref[h] = acc_ref[h] * alpha + jax.lax.dot_general(
+                    p, v_fold, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
         l = jnp.maximum(l_ref[:], 1e-9)
         o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
 
@@ -218,6 +287,11 @@ def quantized_decode_attention(
     lengths: jax.Array,  # [b] int32 — positions < length attend
     k_cos: jax.Array = None,  # [hd/2, S] f32 hoisted RoPE tables (pre mode);
     k_sin: jax.Array = None,  # None => compute cos/sin in-kernel (slower)
+    fold=None,           # optional current-token pair folded IN-KERNEL so
+                         # the cache stays read-only: (k_new [b,kvh,hd] i8,
+                         # k_inv [b,1] f32, v_new, v_inv, active [b],
+                         # q_cos [b,hd/2], q_sin [b,hd/2]); with fold,
+                         # ``lengths`` is the PRE-append length (may be 0)
     *,
     theta: float = 10000.0,
     bk: int = 1024,
@@ -235,34 +309,30 @@ def quantized_decode_attention(
     bk = _pick_bk(S, kvh, hd, bk)
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
+    do_fold = fold is not None
 
     def clamp(kb, length):
         nv = jnp.maximum((length + bk - 1) // bk, 1)
         return jnp.minimum(kb, nv - 1)
 
+    def kvmap(ib, kb, lens, *_):
+        return (ib, 0, 0, clamp(kb, lens[ib]))
+
+    def smap(ib, kb, lens, *_):
+        return (ib, 0, clamp(kb, lens[ib]))
+
+    def bmap(ib, kb, *_):
+        return (ib, 0, 0)
+
     in_specs = [
-        pl.BlockSpec(
-            (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
-        ),
-        pl.BlockSpec(
-            (1, kvh, hdc, bk),
-            lambda ib, kb, lens: (ib, 0, 0, clamp(kb, lens[ib])),
-        ),
-        pl.BlockSpec(
-            (1, 1, bk),
-            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
-        ),
-        pl.BlockSpec(
-            (1, kvh, hdc, bk),
-            lambda ib, kb, lens: (ib, 0, 0, clamp(kb, lens[ib])),
-        ),
-        pl.BlockSpec(
-            (1, 1, bk),
-            lambda ib, kb, lens: (ib, 0, clamp(kb, lens[ib])),
-        ),
+        pl.BlockSpec((1, kvh, groups, hd), lambda ib, kb, *_: (ib, 0, 0, 0)),
+        pl.BlockSpec((1, kvh, hdc, bk), kvmap),
+        pl.BlockSpec((1, 1, bk), smap),
+        pl.BlockSpec((1, kvh, hdc, bk), kvmap),
+        pl.BlockSpec((1, 1, bk), smap),
     ]
+    prefetch = [lengths]
     operands = [
-        lengths,
         q.reshape(b, kvh, groups, hd),
         k_q,
         k_s[:, None, :],
@@ -271,23 +341,49 @@ def quantized_decode_attention(
     ]
     if tables:
         tspec = pl.BlockSpec(
-            (hd // 2, bk), lambda ib, kb, lens: (0, clamp(kb, lens[ib]))
+            (hd // 2, bk), lambda ib, kb, lens, *_: (0, clamp(kb, lens[ib]))
         )
         in_specs += [tspec, tspec]
         operands += [k_cos.astype(jnp.float32), k_sin.astype(jnp.float32)]
+    if do_fold:
+        k_new, k_inv, v_new, v_inv, active, q_cos, q_sin = fold
+        prefetch.append(active.astype(jnp.int32))
+        # scalarish per-slot operands ride with a unit leading dim so the
+        # block's last two dims equal the array's (Mosaic tiling rule)
+        in_specs += [
+            pl.BlockSpec((1, kvh, hd), lambda ib, kb, *_: (ib, 0, 0)),
+            pl.BlockSpec((1, 1, 1), bmap),
+            pl.BlockSpec((1, kvh, hd), lambda ib, kb, *_: (ib, 0, 0)),
+            pl.BlockSpec((1, 1, 1), bmap),
+        ]
+        operands += [
+            k_new.reshape(b, kvh, hd),
+            k_inv.reshape(b, 1, 1).astype(jnp.float32),
+            v_new.reshape(b, kvh, hd),
+            v_inv.reshape(b, 1, 1).astype(jnp.float32),
+        ]
+        if rope:
+            in_specs += [
+                pl.BlockSpec((1, 1, hd // 2), bmap),
+                pl.BlockSpec((1, 1, hd // 2), bmap),
+            ]
+            operands += [
+                q_cos.reshape(b, 1, hd // 2).astype(jnp.float32),
+                q_sin.reshape(b, 1, hd // 2).astype(jnp.float32),
+            ]
 
     grid = (b, S // bk)
     out = pl.pallas_call(
         functools.partial(
             _decode_attn_kernel, bk=bk, scale=scale, theta=float(theta),
-            rope=rope, tables=tables, packed=packed,
+            rope=rope, tables=tables, packed=packed, fold=do_fold,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, kvh, groups, hd), lambda ib, kb, lens: (ib, 0, 0, 0)
+                (1, kvh, groups, hd), lambda ib, kb, *_: (ib, 0, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((kvh, groups, 1), jnp.float32),
@@ -300,7 +396,7 @@ def quantized_decode_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(*operands)
+    )(*prefetch, *operands)
     return out.reshape(b, nh, hd)
 
 

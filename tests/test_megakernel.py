@@ -252,3 +252,36 @@ def test_megakernel_packed_kv4_matches_scan(rope_mode):
         np.testing.assert_allclose(
             np.asarray(c_meg[key]), np.asarray(c_scan[key]), rtol=1e-6
         )
+
+
+@pytest.mark.parametrize("kv_bits,kv_pack", [(8, False), (4, True)])
+def test_megakernel_mha_matches_scan(kv_bits, kv_pack):
+    """MHA (groups=1 — the LLaMA-7B/13B head layout, VERDICT r4 next #1):
+    the per-head attention path must stay parity-exact when every query
+    head owns its KV head."""
+    cfg = TINY_TEST.replace(
+        w_bits=4, a_bits=8, kv_bits=kv_bits, kv_cache_pack=kv_pack,
+        num_key_value_heads=4,  # == num_attention_heads -> MHA
+        use_megakernel=False,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [7, 13])
+
+    tok = jax.random.randint(jax.random.PRNGKey(9), (b, 1), 0, cfg.vocab_size)
+    active = jnp.ones((b,), bool)
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_meg), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+    )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
