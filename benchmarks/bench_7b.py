@@ -42,14 +42,20 @@ HBM_GBPS = 819e9  # v5e
 def _rand_bits(key, shape, dtype):
     """Random bytes reinterpreted as the container dtype (full range).
 
-    Generates uint32 words and bitcasts down — jax.random.bits at uint8
-    materializes a 4x int32 intermediate, which OOMs at 7B weight sizes."""
+    Generated per leading-dim slice under lax.map: threefry's temps run
+    ~2-3x the output size, and a one-shot 2.9 GB gateup tensor's ~8 GB
+    generation spike OOMs next to the already-resident weights. The map
+    bounds transients to one slice (~90 MB at 7B)."""
     import math
 
-    n = math.prod(shape)
-    assert n % 4 == 0, shape
-    u32 = jax.random.bits(key, (n // 4,), dtype=jnp.uint32)
-    u8 = jax.lax.bitcast_convert_type(u32, jnp.uint8).reshape(shape)
+    per = math.prod(shape[1:])
+    assert per % 4 == 0, shape
+
+    def gen(k):
+        u32 = jax.random.bits(k, (per // 4,), dtype=jnp.uint32)
+        return jax.lax.bitcast_convert_type(u32, jnp.uint8).reshape(shape[1:])
+
+    u8 = jax.lax.map(gen, jax.random.split(key, shape[0]))
     if dtype == jnp.uint8:
         return u8
     return jax.lax.bitcast_convert_type(u8, jnp.int8)
@@ -91,18 +97,15 @@ def synth_qparams(cfg, key, dtype=jnp.bfloat16):
 
 
 def synth_cache(cfg, b, ctx, fill, key):
+    """Zero-int cache with ``fill`` valid tokens per slot. Decode perf is
+    value-independent (the kernel streams the same bytes and the softmax
+    over zero scores is finite); generating GBs of random ints costs a 2x
+    temp that pushes 7B-KV8 past the 16 GB part."""
     from llm_qat_tpu.inference import model as M
 
+    del key
     cache = M.init_serving_cache(cfg, b, ctx)
-    ks = jax.random.split(key, 4)
-    out = {}
-    for i, name in enumerate(("k_q", "v_q")):
-        out[name] = _rand_bits(ks[i], cache[name].shape, cache[name].dtype)
-    for i, name in enumerate(("k_s", "v_s")):
-        # caches hold INVERSE scales (multiply to dequant)
-        out[name] = jnp.full(cache[name].shape, 0.05, jnp.float32)
-    out["lengths"] = jnp.full((b,), fill, jnp.int32)
-    return out
+    return dict(cache, lengths=jnp.full((b,), fill, jnp.int32))
 
 
 def decode_floor_bytes(cfg, b, fill):

@@ -74,7 +74,7 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
         return False
     if b > 32:
         return False
-    nc, bk = _pick_nc_bk(c, b, max_len)
+    nc, bk, kh = _pick_nc_bk(c, b, max_len)
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     if nc < 128 and not _interpret():
         return False
@@ -85,10 +85,10 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     if max_len % bk:
         return False
     # the double-buffered weight + cache + scratch VMEM must fit Mosaic's
-    # 16 MB scoped-vmem budget (e.g. 7B-MHA W8A8KV8 at b=8 needs ~17 MB of
-    # KV buffers alone even at BK=128 — that config serves via the scan
-    # path instead of failing a 30-min compile)
-    if _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET:
+    # 16 MB scoped-vmem budget — configs that can't fit even at the
+    # BK/KH/NC floors serve via the scan path instead of failing a long
+    # Mosaic compile
+    if _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET:
         return False
     return True
 
@@ -98,45 +98,71 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
 _VMEM_BUDGET = 15_500_000
 
 
-def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int, bk: int) -> int:
+def _pad8(x: int) -> int:
+    return -(-x // 8) * 8
+
+
+def _pad128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int, bk: int,
+                   kh: int = 0) -> int:
     """Bytes of scoped VMEM the kernel will ask Mosaic for at chunk width
-    ``nc`` and KV block ``bk``: double-buffered weight chunks +
-    double-buffered KV cache blocks + the activation/softmax scratch and
-    in-VMEM rope tables (the latter scale with b, I and S and were
-    previously ignored — ADVICE round 4)."""
+    ``nc``, KV block ``bk`` and KV-head tile ``kh`` (0 = all heads):
+    double-buffered weight chunks + double-buffered KV cache blocks + the
+    activation/softmax scratch (WITH Mosaic's (8, 128) tile padding — the
+    per-head [groups=1, hd] tiles at MHA pad 8x on the sublane dim, +4 MB
+    at 7B shapes, measured against the compiler's own 18.23M report) and
+    in-VMEM rope tables."""
     H, I = c.hidden_size, c.intermediate_size
     nh, kvh, hd = c.num_attention_heads, c.kv_heads, c.head_dim
+    groups = nh // kvh
+    kh = kh or kvh
     dq = H + 2 * kvh * hd
     wdiv = 2 if c.w_bits == 4 else 1
     west = 2 * (H // wdiv) * nc + 2 * (I // wdiv) * nc
     hdc = hd // 2 if (c.kv_cache_pack and c.kv_bits <= 4) else hd
-    kvbufs = 2 * 2 * b * kvh * hdc * bk + 2 * 2 * b * bk * 4  # +k/v scales
+    kvbufs = 2 * 2 * b * kh * hdc * bk + 2 * 2 * b * bk * 4  # +k/v scales
     bm = max(32, -(-b // 8) * 8)
+    batched = groups % 8 == 0 and kvh > 1
+    if batched:
+        ml = 2 * b * _pad8(nh) * 128 * 4
+        accq4 = 2 * b * _pad8(nh) * _pad128(hd) * 4
+    else:
+        ml = 2 * b * kvh * _pad8(groups) * 128 * 4
+        accq4 = 2 * b * kvh * _pad8(groups) * _pad128(hd) * 4
     scratch = (
         b * (2 * H + dq + 2 * I) * 2      # h, attn, qkv, gu (bf16)
         + bm * max(H, I)                  # int8 activation buffer
-        + 3 * b * nh * hd * 4             # qrot, q4, o-acc (f32)
+        + b * nh * hd * 4                 # qrot (f32)
+        + ml + accq4                      # m/l + acc/q4 (tile-padded f32)
         + nh * bk * 4                     # score scratch
         + 2 * max_len * (hd // 2) * 4     # kcos/ksin cache rope tables
     )
     return west + kvbufs + scratch
 
 
-def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int]:
-    """Jointly choose the weight-chunk width NC and KV block BK so the
-    kernel's scoped VMEM fits Mosaic's budget.
+def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
+    """Jointly choose the weight-chunk width NC, KV block BK, and KV-head
+    tile KH so the kernel's scoped VMEM fits Mosaic's budget.
 
     NC: explicit override honored when it divides every stage width and
     fits (else warn + auto); auto = largest power of two <= 256 dividing
     {Dq, H, 2I}. BK: explicit override honored when it divides max_len;
     auto = 512 halved (floor 128 — smaller minor dims hit Mosaic's
-    lane-padded-DMA rejections) until the estimate fits. MHA shapes
-    (kvh=32, hd=128) need BK=128: at BK=512 the KV double buffers alone
-    would be ~33 MB (VERDICT r4 next #1)."""
+    lane-padded-DMA rejections) until the estimate fits. KH: the cache
+    streams in KH-head tiles — halving KH halves the KV double-buffers
+    (the lever that fits MHA shapes: 7B kvh=32 at BK=128 needs 8.4 MB of
+    full-head KV buffers and measured 18.23 M total, VERDICT r4 next #1).
+    Finally NC drops toward 128 if still over."""
     import math
 
     dq = c.hidden_size + 2 * c.kv_heads * c.head_dim
     g = math.gcd(math.gcd(c.hidden_size, dq), 2 * c.intermediate_size)
+    kvh = c.kv_heads
+    groups = c.num_attention_heads // kvh
+    batched = groups % 8 == 0 and kvh > 1
 
     def auto_nc() -> int:
         nc = 256
@@ -150,7 +176,12 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int]:
             nc //= 2
         return nc
 
-    def auto_bk(nc: int) -> int:
+    def kh_ok(kh: int) -> bool:
+        # batched softmax slices land at multiples of kh*groups — keep
+        # per-tile sublane offsets 8-aligned
+        return not batched or (kh * groups) % 8 == 0
+
+    def auto_bk_kh(nc: int) -> Tuple[int, int]:
         bk = (
             c.megakernel_bk
             if c.megakernel_bk and max_len % c.megakernel_bk == 0
@@ -158,10 +189,16 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int]:
         )
         while max_len % bk:
             bk //= 2
+        kh = kvh
         if not c.megakernel_bk:
-            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET:
+            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET:
                 bk //= 2
-        return max(bk, 1)
+        while (
+            _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET
+            and kh % 2 == 0 and kh > 1 and kh_ok(kh // 2)
+        ):
+            kh //= 2
+        return max(bk, 1), kh
 
     if c.megakernel_nc:
         # explicit override (config.megakernel_nc): honored when it
@@ -172,31 +209,30 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int]:
         # and fall through to auto — a silently dropped override would
         # make benchmarks report auto-NC numbers as if it applied
         nc = c.megakernel_nc
-        bk = auto_bk(nc)
+        bk, kh = auto_bk_kh(nc)
         if (g % nc == 0 and c.hidden_size // nc >= 2
-                and _vmem_estimate(c, b, max_len, nc, bk) <= _VMEM_BUDGET):
-            return nc, bk
+                and _vmem_estimate(c, b, max_len, nc, bk, kh) <= _VMEM_BUDGET):
+            return nc, bk, kh
         import warnings
         warnings.warn(
             f"megakernel_nc={nc} rejected for b={b}, max_len={max_len} "
             f"(divisibility or VMEM estimate "
-            f"{_vmem_estimate(c, b, max_len, nc, bk) / 2**20:.1f} MiB > "
+            f"{_vmem_estimate(c, b, max_len, nc, bk, kh) / 2**20:.1f} MiB > "
             f"{_VMEM_BUDGET / 2**20:.1f} MiB budget); falling back to auto "
             f"NC — benchmark numbers will reflect the auto choice",
             stacklevel=3,
         )
     nc = auto_nc()
-    bk = auto_bk(nc)
-    # if the BK floor (128) alone can't fit the budget, trade chunk width
-    # for headroom: halving NC halves the weight double-buffers (13B-class
-    # shapes at small b land here)
+    bk, kh = auto_bk_kh(nc)
+    # if the BK/KH floors alone can't fit the budget, trade chunk width
+    # for headroom: halving NC halves the weight double-buffers
     while (
-        _vmem_estimate(c, b, max_len, nc, bk) > _VMEM_BUDGET
+        _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET
         and nc > 128 and nc % 2 == 0 and c.hidden_size // (nc // 2) >= 2
     ):
         nc //= 2
-        bk = auto_bk(nc)
-    return nc, bk
+        bk, kh = auto_bk_kh(nc)
+    return nc, bk, kh
 
 
 def _kernel(
@@ -261,12 +297,15 @@ def _kernel(
     BM: int,
     NC: int,
     BK: int,
+    KH: int,       # KV-head tile: the cache streams KH heads at a time
+                   # (KH == kvh for GQA shapes; MHA shapes shrink KH to
+                   # fit the KV double-buffers in scoped VMEM)
     rope: bool,    # pre mode: rotate K on read
     w4: bool,      # int4 split-half packed weights (quant_matmul.pack_int4)
     kv_pack: bool,  # KV4 nibble-packed cache: hd split-half per byte
-    batched_att: bool,  # one masked max/exp/sum across ALL kv heads per
-                   # slot per block (requires groups % 8 == 0 so per-head
-                   # sublane slices stay aligned) — cuts the VPU
+    batched_att: bool,  # one masked max/exp/sum across a whole head tile
+                   # per slot per block (requires groups % 8 == 0 so
+                   # per-head sublane slices stay aligned) — cuts the VPU
                    # instruction count that bounds b>=16 (VERDICT r3 #7)
     dtype,
 ):
@@ -279,6 +318,7 @@ def _kernel(
     kvh = c.kv_heads
     nh = c.num_attention_heads
     groups = nh // kvh
+    NT = kvh // KH  # head tiles per KV block
     kv_dim = kvh * hd
     Dq = H + 2 * kv_dim
     S = kq_hbm.shape[-1]
@@ -291,13 +331,15 @@ def _kernel(
     l_id = pl.program_id(0)
 
     # head-indexed views of the softmax state, valid under both scratch
-    # layouts: batched_att flattens (kvh, groups) into one sublane dim so
-    # a single vector op updates every head's m/l/p at once; per-head
-    # slices land at offsets hh*groups, aligned because batched_att
-    # requires groups % 8 == 0
+    # layouts: batched_att flattens each TILE's (KH, groups) into one
+    # sublane dim — [b, NT, KH*groups, *] — so a single vector op updates
+    # a whole tile's m/l/p; per-head slices land at offsets (hh%KH)*groups,
+    # aligned because batched_att requires groups % 8 == 0. The tile index
+    # rides a leading dim so it may be dynamic.
     if batched_att:
         def hidx(i, hh):
-            return (i, slice(hh * groups, (hh + 1) * groups))
+            t, r = hh // KH, hh % KH
+            return (i, t, slice(r * groups, (r + 1) * groups))
     else:
         def hidx(i, hh):
             return (i, hh)
@@ -371,54 +413,54 @@ def _kernel(
         startA(0, 0)
         startA(1, 0)
 
-    # ---- attention streaming: K/V/scale chunks --------------------------
+    # ---- attention streaming: K/V/scale chunks in KH-head tiles ---------
+    # the DMA sequence index t walks (KV block, head tile) pairs:
+    # kb = t // NT, tile = t % NT — NT == 1 degenerates to whole-head
+    # blocks. Per-token scales are re-fetched per tile (a few KB).
     lens = [lens_ref[i] for i in range(b)]
     maxlen = lens[0]
     for i in range(1, b):
         maxlen = jnp.maximum(maxlen, lens[i])
     nb = (maxlen + BK - 1) // BK  # dynamic
+    ntot = nb * NT
 
-    def att_start(kb_idx, slot):
-        pltpu.make_async_copy(
-            kq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
-            kbuf_ref.at[slot], sematt.at[slot, 0],
-        ).start()
-        pltpu.make_async_copy(
-            ks_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
-            ksb_ref.at[slot], sematt.at[slot, 1],
-        ).start()
-        pltpu.make_async_copy(
-            vq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
-            vbuf_ref.at[slot], sematt.at[slot, 2],
-        ).start()
-        pltpu.make_async_copy(
-            vs_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
-            vsb_ref.at[slot], sematt.at[slot, 3],
-        ).start()
+    def att_copies(t, slot):
+        kb_idx = t // NT
+        tile = jax.lax.rem(t, NT)
+        return [
+            pltpu.make_async_copy(
+                kq_hbm.at[l_id, :, pl.ds(tile * KH, KH), :,
+                          pl.ds(kb_idx * BK, BK)],
+                kbuf_ref.at[slot], sematt.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                ks_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
+                ksb_ref.at[slot], sematt.at[slot, 1],
+            ),
+            pltpu.make_async_copy(
+                vq_hbm.at[l_id, :, pl.ds(tile * KH, KH), :,
+                          pl.ds(kb_idx * BK, BK)],
+                vbuf_ref.at[slot], sematt.at[slot, 2],
+            ),
+            pltpu.make_async_copy(
+                vs_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
+                vsb_ref.at[slot], sematt.at[slot, 3],
+            ),
+        ]
 
-    def att_wait(kb_idx, slot):
-        pltpu.make_async_copy(
-            kq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
-            kbuf_ref.at[slot], sematt.at[slot, 0],
-        ).wait()
-        pltpu.make_async_copy(
-            ks_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
-            ksb_ref.at[slot], sematt.at[slot, 1],
-        ).wait()
-        pltpu.make_async_copy(
-            vq_hbm.at[l_id, :, :, :, pl.ds(kb_idx * BK, BK)],
-            vbuf_ref.at[slot], sematt.at[slot, 2],
-        ).wait()
-        pltpu.make_async_copy(
-            vs_hbm.at[l_id, :, :, pl.ds(kb_idx * BK, BK)],
-            vsb_ref.at[slot], sematt.at[slot, 3],
-        ).wait()
+    def att_start(t, slot):
+        for cp in att_copies(t, slot):
+            cp.start()
 
-    @pl.when(nb > 0)
+    def att_wait(t, slot):
+        for cp in att_copies(t, slot):
+            cp.wait()
+
+    @pl.when(ntot > 0)
     def _():
         att_start(0, 0)
-    if S // BK > 1:  # static: a second block exists at all
-        @pl.when(nb > 1)
+    if (S // BK) * NT > 1:  # static: a second tile exists at all
+        @pl.when(ntot > 1)
         def _():
             att_start(1, 1)
 
@@ -528,16 +570,18 @@ def _kernel(
     l_ref[:] = jnp.zeros_like(l_ref)
     acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    def att_body(kb_idx, _):
-        slot = jax.lax.rem(kb_idx, 2)
-        att_wait(kb_idx, slot)
+    def att_body(t, _):
+        slot = jax.lax.rem(t, 2)
+        kb_idx = t // NT
+        tile = jax.lax.rem(t, NT)
+        att_wait(t, slot)
         start = kb_idx * BK
         if rope:
             cos = kcos_ref[kb_idx]                         # [hd/2, BK]
             sin = ksin_ref[kb_idx]
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, BK), 1)
         col_all = start + jax.lax.broadcasted_iota(
-            jnp.int32, (kvh * groups, BK), 1
+            jnp.int32, (KH * groups, BK), 1
         )
         for i in range(b):
             # a block past slot i's length contributes nothing — skipping it
@@ -583,12 +627,14 @@ def _kernel(
                     return vbuf_ref[slot, i, hh].astype(ct)  # [hd, BK]
 
                 if batched_att:
-                    # stage every head's scores, then ONE masked
-                    # max/exp/sum across the flattened (kvh*groups)
-                    # sublane dim — the per-head VPU op count was the
-                    # b>=16 bottleneck (DESIGN.md megakernel notes)
-                    for hh in range(kvh):
-                        q_ih = q4_ref[i, hh].astype(ct)    # [groups, hd]
+                    # stage the TILE's scores, then ONE masked max/exp/sum
+                    # across the flattened (KH*groups) sublane dim — the
+                    # per-head VPU op count was the b>=16 bottleneck
+                    # (DESIGN.md megakernel notes). m/l/acc carry a
+                    # leading NT dim so the (dynamic) tile index stays on
+                    # an untiled dim.
+                    for hh in range(KH):
+                        q_ih = q4_ref[i, tile * KH + hh].astype(ct)
                         s_scr[hh * groups:(hh + 1) * groups, :] = (
                             jax.lax.dot_general(
                                 q_ih, kr_of(hh), (((1,), (0,)), ((), ())),
@@ -596,23 +642,24 @@ def _kernel(
                             )
                         )
                     s = jnp.where(
-                        col_all < lens[i], s_scr[:] * scale, _NEG_INF
-                    )                                      # [kvh*g, BK]
-                    m_prev = m_ref[i]                      # [kvh*g, 1]
-                    l_prev = l_ref[i]
+                        col_all < lens[i],
+                        s_scr[0:KH * groups, :] * scale, _NEG_INF,
+                    )                                      # [KH*g, BK]
+                    m_prev = m_ref[i, tile]                # [KH*g, 1]
+                    l_prev = l_ref[i, tile]
                     m_blk = jnp.max(s, axis=-1, keepdims=True)
                     m_new = jnp.maximum(m_prev, m_blk)
                     alpha = jnp.exp(m_prev - m_new)
                     p = jnp.exp(s - m_new)
-                    m_ref[i] = m_new
-                    l_ref[i] = l_prev * alpha + jnp.sum(
+                    m_ref[i, tile] = m_new
+                    l_ref[i, tile] = l_prev * alpha + jnp.sum(
                         p, axis=-1, keepdims=True
                     )
-                    pv = (p * vsl).astype(ct)              # [kvh*g, BK]
-                    for hh in range(kvh):
+                    pv = (p * vsl).astype(ct)              # [KH*g, BK]
+                    for hh in range(KH):
                         g0, g1 = hh * groups, (hh + 1) * groups
-                        acc_ref[i, g0:g1] = (
-                            acc_ref[i, g0:g1] * alpha[g0:g1]
+                        acc_ref[i, tile, g0:g1] = (
+                            acc_ref[i, tile, g0:g1] * alpha[g0:g1]
                             + jax.lax.dot_general(
                                 pv[g0:g1], v_of(hh),
                                 (((1,), (1,)), ((), ())),
@@ -620,39 +667,40 @@ def _kernel(
                             )
                         )
                 else:
-                    for hh in range(kvh):
-                        q_ih = q4_ref[i, hh].astype(ct)    # [groups, hd]
+                    for hh in range(KH):
+                        ah = tile * KH + hh                # absolute head
+                        q_ih = q4_ref[i, ah].astype(ct)    # [groups, hd]
                         s = jax.lax.dot_general(
                             q_ih, kr_of(hh), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
                         s = jnp.where(valid, s * scale, _NEG_INF)
-                        m_prev = m_ref[i, hh]
-                        l_prev = l_ref[i, hh]
+                        m_prev = m_ref[i, ah]
+                        l_prev = l_ref[i, ah]
                         m_blk = jnp.max(s, axis=-1, keepdims=True)
                         m_new = jnp.maximum(m_prev, m_blk)
                         alpha = jnp.exp(m_prev - m_new)
                         p = jnp.exp(s - m_new)
-                        m_ref[i, hh] = m_new
-                        l_ref[i, hh] = l_prev * alpha + jnp.sum(
+                        m_ref[i, ah] = m_new
+                        l_ref[i, ah] = l_prev * alpha + jnp.sum(
                             p, axis=-1, keepdims=True
                         )
                         # V streams transposed ([hd, BK], K's layout);
                         # fold the inverse scale into p and contract over
                         # BK with a transposed-rhs dot
                         pv = (p * vsl).astype(ct)          # [groups, BK]
-                        acc_ref[i, hh] = (
-                            acc_ref[i, hh] * alpha + jax.lax.dot_general(
+                        acc_ref[i, ah] = (
+                            acc_ref[i, ah] * alpha + jax.lax.dot_general(
                                 pv, v_of(hh), (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                             )
                         )
-        @pl.when(kb_idx + 2 < nb)
+        @pl.when(t + 2 < ntot)
         def _():
-            att_start(kb_idx + 2, slot)
+            att_start(t + 2, slot)
         return 0
 
-    jax.lax.fori_loop(0, nb, att_body, 0)
+    jax.lax.fori_loop(0, ntot, att_body, 0)
 
     # ---- fold the current token as a final online-softmax pair ----------
     # (active slots only — inactive slots don't advance, matching the scan
@@ -781,7 +829,7 @@ def decode_step(
     I = c.intermediate_size
     kv_dim = kvh * hd
     Dq = H + 2 * kv_dim
-    NC, BK = _pick_nc_bk(c, b, S)
+    NC, BK, KH = _pick_nc_bk(c, b, S)
     BM = max(32, -(-b // 8) * 8)
     rope = c.kv_cache_rope != "post"
     groups_ = c.num_attention_heads // kvh
@@ -849,21 +897,21 @@ def decode_step(
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
                        jnp.float32),                 # q4
             pltpu.VMEM(
-                (b, c.num_attention_heads, 1) if batched_att
-                else (b, kvh, c.num_attention_heads // kvh, 1),
+                (b, kvh // KH, KH * groups_, 1) if batched_att
+                else (b, kvh, groups_, 1),
                 jnp.float32,
             ),                                       # m
             pltpu.VMEM(
-                (b, c.num_attention_heads, 1) if batched_att
-                else (b, kvh, c.num_attention_heads // kvh, 1),
+                (b, kvh // KH, KH * groups_, 1) if batched_att
+                else (b, kvh, groups_, 1),
                 jnp.float32,
             ),                                       # l
             pltpu.VMEM(
-                (b, c.num_attention_heads, hd) if batched_att
-                else (b, kvh, c.num_attention_heads // kvh, hd),
+                (b, kvh // KH, KH * groups_, hd) if batched_att
+                else (b, kvh, groups_, hd),
                 jnp.float32,
             ),                                       # acc
-            pltpu.VMEM((c.num_attention_heads, BK), jnp.float32),  # s_scr
+            pltpu.VMEM((KH * groups_, BK), jnp.float32),  # s_scr
             pltpu.VMEM(
                 (2, H // 2 if c.w_bits == 4 else H, NC),
                 jnp.uint8 if c.w_bits == 4 else jnp.int8,
@@ -873,12 +921,12 @@ def decode_step(
                 jnp.uint8 if c.w_bits == 4 else jnp.int8,
             ),                                       # wB
             pltpu.VMEM(
-                (2, b, kvh, hd // 2 if kv_pack else hd, BK),
+                (2, b, KH, hd // 2 if kv_pack else hd, BK),
                 jnp.uint8 if kv_pack else jnp.int8,
             ),                                       # kbuf
             pltpu.VMEM((2, b, 1, BK), jnp.float32),      # ksb
             pltpu.VMEM(
-                (2, b, kvh, hd // 2 if kv_pack else hd, BK),
+                (2, b, KH, hd // 2 if kv_pack else hd, BK),
                 jnp.uint8 if kv_pack else jnp.int8,
             ),                                       # vbuf
             pltpu.VMEM((2, b, 1, BK), jnp.float32),      # vsb
@@ -890,7 +938,7 @@ def decode_step(
 
     w4 = c.w_bits == 4
     kernel = functools.partial(
-        _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, rope=rope, w4=w4,
+        _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, KH=KH, rope=rope, w4=w4,
         kv_pack=kv_pack, batched_att=batched_att, dtype=dtype,
     )
     out_shapes = [

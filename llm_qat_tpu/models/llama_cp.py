@@ -31,7 +31,7 @@ from llm_qat_tpu.models import llama
 from llm_qat_tpu.models.config import LlamaConfig
 from llm_qat_tpu.ops.linear import quant_dense
 from llm_qat_tpu.ops.quantize import kv_fake_quant
-from llm_qat_tpu.parallel.ring_attention import ring_attention_local
+from llm_qat_tpu.parallel.ring_attention import ring_flash_attention_local
 
 
 def _cp_decoder_layer(
@@ -69,12 +69,11 @@ def _cp_decoder_layer(
     q = llama.apply_rope(q, cos, sin)
     k = llama.apply_rope(k, cos, sin)
 
-    groups = nh // kvh
-    if groups > 1:
-        k = jnp.repeat(k, groups, axis=2)
-        v = jnp.repeat(v, groups, axis=2)
-
-    attn = ring_attention_local(
+    # flash ring body (round 5): GQA rides the kernel's group dim, so K/V
+    # travel the ring UN-repeated — ICI bytes / groups vs the old
+    # pre-repeat, and the per-step attention runs as the Pallas flash
+    # kernel instead of an fp32 O((s/N)^2) einsum
+    attn = ring_flash_attention_local(
         q, k, v, axis_name=axis, n=n, kv_bits=ring_transport_bits
     )
     attn = attn.reshape(b, sl, nh * hd).astype(h.dtype)
@@ -136,5 +135,6 @@ def cp_forward(
         mesh=mesh,
         in_specs=(pspec, P(None, axis)),
         out_specs=P(None, axis, None),
+        check_vma=False,  # flash ring pallas out_shapes carry no vma
     )
     return fn(params, input_ids)

@@ -73,11 +73,16 @@ def _fit_block(target: int, s: int) -> int:
     return t
 
 
-def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int):
+def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int,
+                  causal: bool = True):
     """Last KV block index that is causally live for query block ``iq`` and
-    within ``length`` (clamped to >=1 so empty rows still read block 0)."""
-    causal_last = ((iq + 1) * bq - 1) // bk
+    within ``length`` (clamped to >=1 so empty rows still read block 0).
+    With ``causal=False`` (ring-attention full-visibility steps) only the
+    length bound applies."""
     len_last = (jnp.maximum(length, 1) - 1) // bk
+    if not causal:
+        return len_last
+    causal_last = ((iq + 1) * bq - 1) // bk
     return jnp.minimum(causal_last, len_last)
 
 
@@ -88,11 +93,11 @@ def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int):
 
 def _flash_fwd_kernel(
     lens_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, bq: int, bk: int, scale: float, nk: int,
+    *, bq: int, bk: int, scale: float, nk: int, causal: bool = True,
 ):
     ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     length = lens_ref[ib]
-    live_last = _last_live_kv(iq, length, bq, bk)
+    live_last = _last_live_kv(iq, length, bq, bk, causal)
     start_q = iq * bq
 
     @pl.when(kb == 0)
@@ -120,9 +125,13 @@ def _flash_fwd_kernel(
         s = (scale * _LOG2E) * jax.lax.dot_general(
             q, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )  # [bq, bk] fp32, base-2 logits
-        row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        ok = col_ids < jnp.maximum(length, 1)
+        if causal:
+            row_ids = start_q + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0
+            )
+            ok = ok & (col_ids <= row_ids)
         s = jnp.where(ok, s, _NEG_INF)
 
         m = m_scr[:]
@@ -145,8 +154,8 @@ def _flash_fwd_kernel(
         lse_ref[0, 0, 0] = (m_scr[:] * _LN2 + jnp.log(l))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk"))
-def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "causal"))
+def _flash_fwd(q, k, v, lengths, bq: int, bk: int, causal: bool = True):
     """q: [B, G, S, D]; k/v: [B, S, D]; lengths [B] (causal within each S).
     Returns ([B, G, S, D], lse [B, G, 1, S])."""
     B, G, S, D = q.shape
@@ -161,14 +170,14 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
     kt = jnp.swapaxes(k, 1, 2)
 
     def kt_idx(b, g, iq, kb, lens):
-        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)))
+        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk, causal)))
 
     def kv_idx(b, g, iq, kb, lens):
-        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
+        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk, causal)), 0)
 
     return pl.pallas_call(
         functools.partial(
-            _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, nk=nk
+            _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, nk=nk, causal=causal
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -212,7 +221,7 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int):
 def _flash_bwd_dq_kernel(
     lens_ref, q_ref, kt_ref, k_ref, vt_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dq_scr,
-    *, bq: int, bk: int, scale: float, nk: int,
+    *, bq: int, bk: int, scale: float, nk: int, causal: bool = True,
 ):
     """dQ_i = scale * sum_j (P_ij * (dO_i V_j^T - D_i)) K_j, blockwise.
 
@@ -223,7 +232,7 @@ def _flash_bwd_dq_kernel(
     folded into the operands — the VPU-native transcendental)."""
     ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     length = lens_ref[ib]
-    live_last = _last_live_kv(iq, length, bq, bk)
+    live_last = _last_live_kv(iq, length, bq, bk, causal)
     start_q = iq * bq
 
     @pl.when(kb == 0)
@@ -243,9 +252,13 @@ def _flash_bwd_dq_kernel(
         s2 = (scale * _LOG2E) * jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        ok = col_ids < jnp.maximum(length, 1)
+        if causal:
+            row_ids = start_q + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0
+            )
+            ok = ok & (col_ids <= row_ids)
         s2 = jnp.where(ok, s2, _NEG_INF)
         p = jnp.exp2(s2 - lse2)
         dp = jax.lax.dot_general(
@@ -270,6 +283,7 @@ def _flash_bwd_dkv_kernel(
     lens_ref, q_ref, kt_ref, vt_ref, do_ref, lse_ref, delta_ref, dk_ref,
     dv_ref, dk_scr, dv_scr,
     *, bq: int, bk: int, scale: float, nq: int, groups: int,
+    causal: bool = True,
 ):
     """dK_j / dV_j accumulated over causally-live query blocks of every GQA
     group. Grid is (B, nk, G, nq) with iq innermost then g, so the fp32
@@ -279,7 +293,8 @@ def _flash_bwd_dkv_kernel(
     grp, iq = pl.program_id(2), pl.program_id(3)
     length = lens_ref[ib]
     start_k = kb * bk
-    first_live = start_k // bq  # first query block with rows >= start_k
+    # first query block with rows >= start_k (all blocks when non-causal)
+    first_live = start_k // bq if causal else 0
 
     @pl.when((grp == 0) & (iq == 0))
     def _():
@@ -298,9 +313,13 @@ def _flash_bwd_dkv_kernel(
         s2 = (scale * _LOG2E) * jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        row_ids = start_q + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
         col_ids = start_k + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-        ok = (col_ids <= row_ids) & (col_ids < jnp.maximum(length, 1))
+        ok = col_ids < jnp.maximum(length, 1)
+        if causal:
+            row_ids = start_q + jax.lax.broadcasted_iota(
+                jnp.int32, (bq, bk), 0
+            )
+            ok = ok & (col_ids <= row_ids)
         s2 = jnp.where(ok, s2, _NEG_INF)
         p = jnp.exp2(s2 - lse2)
         dv_scr[:] += jax.lax.dot_general(
@@ -321,8 +340,9 @@ def _flash_bwd_dkv_kernel(
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk"))
-def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "causal"))
+def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int,
+               causal: bool = True):
     B, G, S, D = q.shape
     scale = 1.0 / (D ** 0.5)
     bq, bk = _fit_block(bq, S), _fit_block(bk, S)
@@ -342,14 +362,15 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
     vt = jnp.swapaxes(v, 1, 2)
 
     def kv_idx(b, g, iq, kb, lens):
-        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)), 0)
+        return (b, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk, causal)), 0)
 
     def kt_idx(b, g, iq, kb, lens):
-        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk)))
+        return (b, 0, jnp.minimum(kb, _last_live_kv(iq, lens[b], bq, bk, causal)))
 
     dq = pl.pallas_call(
         functools.partial(
-            _flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale, nk=nk
+            _flash_bwd_dq_kernel, bq=bq, bk=bk, scale=scale, nk=nk,
+            causal=causal,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -376,9 +397,13 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
     # dead iq blocks (entirely above the diagonal for this KV block) clamp
     # to the first live one: same index => the pipeline skips the re-fetch
     def q_idx(b, kb, g, iq, lens):
+        if not causal:
+            return (b, g, iq, 0)
         return (b, g, jnp.maximum(iq, (kb * bk) // bq), 0)
 
     def lse_idx(b, kb, g, iq, lens):
+        if not causal:
+            return (b, g, 0, iq)
         return (b, g, 0, jnp.maximum(iq, (kb * bk) // bq))
 
     kv_of_b = lambda b, kb, g, iq, lens: (b, kb, 0)
@@ -386,7 +411,7 @@ def _flash_bwd(q, k, v, lengths, o, lse, do, bq: int, bk: int):
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
-            bq=bq, bk=bk, scale=scale, nq=nq, groups=G,
+            bq=bq, bk=bk, scale=scale, nq=nq, groups=G, causal=causal,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -285,3 +285,45 @@ def test_megakernel_mha_matches_scan(kv_bits, kv_pack):
         np.testing.assert_array_equal(
             np.asarray(c_meg[key]), np.asarray(c_scan[key])
         )
+
+
+@pytest.mark.parametrize("mode", ["gqa", "mha", "batched"])
+def test_megakernel_kv_head_tiling_matches_scan(monkeypatch, mode):
+    """KH < kvh (KV-head-tiled cache streaming — the VMEM lever that fits
+    MHA/7B shapes, round 5) must be numerically identical to whole-head
+    streaming, on the per-head AND the cross-head-batched softmax paths.
+    Forced via _pick_nc_bk since tiny shapes never need it."""
+    from llm_qat_tpu.inference import megakernel as MK
+
+    kvh = {"gqa": 2, "mha": 4, "batched": 2}[mode]
+    cfg = TINY_TEST.replace(
+        w_bits=4, a_bits=8, kv_bits=4, num_key_value_heads=kvh,
+        use_megakernel=False,
+    )
+    if mode == "batched":  # groups = 16/2 = 8 -> batched_att with NT=2
+        cfg = cfg.replace(num_attention_heads=16, num_key_value_heads=2)
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [6, 12])
+    tok = jax.random.randint(jax.random.PRNGKey(11), (b, 1), 0, cfg.vocab_size)
+    active = jnp.ones((b,), bool)
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+
+    orig = MK._pick_nc_bk
+    monkeypatch.setattr(
+        MK, "_pick_nc_bk", lambda c, bb, s: (orig(c, bb, s)[0], orig(c, bb, s)[1], kvh // 2)
+    )
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_meg), np.asarray(lg_scan), rtol=2e-4, atol=2e-4
+    )
+    for key in ("k_q", "v_q"):
+        np.testing.assert_array_equal(
+            np.asarray(c_meg[key]), np.asarray(c_scan[key])
+        )
