@@ -78,6 +78,19 @@ class LlamaConfig:
     # symmetric per-channel/per-token configs (ops/linear.py:46-55) and
     # falls back to the XLA fake-quant chain otherwise.
     fused_qat_matmul: bool = True      # int8-MXU fused fake-quant matmul (QAT fwd)
+    # Producer-fused activation quantization (round 5): RMSNorm+quant runs
+    # as a single-pass Pallas kernel feeding the int8 matmuls, so the bf16
+    # normed activation never round-trips HBM between the norm and its
+    # quantizer (ops/fused_layer.py). Requires fused_qat_matmul;
+    # unsupported shapes/configs fall back per-call.
+    fused_norm_quant: bool = True
+    # SiLU*up+quant producer fusion — measured a NET REGRESSION on v5e
+    # (+3.5 ms on the TinyLlama prefill step): XLA already fuses
+    # silu+absmax into the up-projection matmul's epilogue, so the Pallas
+    # kernel's extra gate/up re-read (184 MB/layer) costs more than the
+    # bf16 round-trip it saves (DESIGN.md round-5 prefill study). Kept as
+    # an opt-in for shapes where the epilogue fusion does not fire.
+    fused_silu_quant: bool = False
     act_layerwise: bool = False   # per-tensor instead of per-token
     weight_layerwise: bool = False
 

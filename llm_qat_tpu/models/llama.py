@@ -122,6 +122,15 @@ def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     return x * c + rotated * s
 
 
+def _rope_rotate(x: jax.Array, c: jax.Array, s: jax.Array) -> jax.Array:
+    """Rotate-half RoPE on the last dim with pre-broadcast cos/sin (the
+    flash-layout path; same math as :func:`apply_rope`)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * c.astype(x.dtype) + rotated * s.astype(x.dtype)
+
+
 def _attend(
     q: jax.Array,  # [b, s_q, nh, hd]
     k: jax.Array,  # [b, s_kv, kvh, hd]
@@ -174,12 +183,83 @@ def decoder_layer(
         act_layerwise=c.act_layerwise, weight_layerwise=c.weight_layerwise,
         fused=c.fused_qat_matmul,
     )
+    # producer-fused RMSNorm+quant / SiLU+quant path (ops/fused_layer.py):
+    # same STE numerics, one HBM pass per activation instead of three
+    use_fused_norm = False
+    if (
+        c.fused_norm_quant and c.fused_qat_matmul and c.symmetric
+        and not c.act_layerwise and not c.weight_layerwise
+    ):
+        from llm_qat_tpu.ops import fused_layer
+
+        use_fused_norm = fused_layer.supported(
+            h.reshape(-1, h.shape[-1]), c.w_bits, c.a_bits
+        )
 
     # --- attention ---
-    x = rms_norm(h, lp["attn_norm"], c.rms_norm_eps)
-    q = quant_dense(x, lp["q"], **qd)
-    k = quant_dense(x, lp["k"], **qd)
-    v = quant_dense(x, lp["v"], **qd)
+    # flash-layout fast path (round 5): the q/k/v projections EMIT the
+    # flash kernel's head-major layout and the o projection CONSUMES it,
+    # so the ~15 ms/step of XLA relayout copies around the kernel vanish
+    # into the int8 einsums (ops/fused_layer.py "Flash-layout attention
+    # projections"). Training path only (no cache) — numerics identical
+    # to the flat path (integer dots are exact; tested).
+    if use_fused_norm and use_flash and cache_kv is None:
+        q5, k4, v4 = fused_layer.fused_norm_qkv_flash(
+            h, lp["attn_norm"], lp["q"], lp["k"], lp["v"], kvh,
+            w_bits=c.w_bits, a_bits=c.a_bits, eps=c.rms_norm_eps,
+        )
+        # KV fake-quant at the reference hook (pre-RoPE, pre-cache); the
+        # per-token absmax spans (kvh, d) == the flat hidden dim.
+        from llm_qat_tpu.ops.quantize import sym_fake_quant
+
+        if c.kv_bits < 32:
+            k4 = sym_fake_quant(k4, c.kv_bits, (1, 3))
+            v4 = sym_fake_quant(v4, c.kv_bits, (1, 3))
+        cs = cos[:, None, None, :, :], sin[:, None, None, :, :]
+        q5 = _rope_rotate(q5, *cs)
+        k4 = _rope_rotate(k4, cos[:, None, :, :], sin[:, None, :, :])
+
+        from llm_qat_tpu.ops.pallas.flash_attention import flash_attention_gqa
+
+        groups = nh // kvh
+        if flash_lengths is None:
+            lens_B = jnp.full((b * kvh,), s, jnp.int32)
+        else:
+            lens_B = jnp.repeat(flash_lengths.astype(jnp.int32), kvh)
+        out = flash_attention_gqa(
+            q5.reshape(b * kvh, groups, s, hd),
+            k4.reshape(b * kvh, s, hd),
+            v4.reshape(b * kvh, s, hd),
+            lens_B,
+        )
+        attn = fused_layer.fused_attn_out_dense(
+            out.reshape(b, kvh, groups, s, hd), lp["o"],
+            w_bits=c.w_bits, a_bits=c.a_bits,
+        )
+        h = h + attn
+        # --- MLP ---
+        gate, up = fused_layer.fused_norm_dense(
+            h, lp["mlp_norm"], (lp["gate"], lp["up"]),
+            w_bits=c.w_bits, a_bits=c.a_bits, eps=c.rms_norm_eps,
+        )
+        if c.fused_silu_quant:
+            x = fused_layer.fused_silu_mul_dense(
+                gate, up, lp["down"], w_bits=c.w_bits, a_bits=c.a_bits
+            )
+        else:
+            x = quant_dense(jax.nn.silu(gate) * up, lp["down"], **qd)
+        return h + x, None
+
+    if use_fused_norm:
+        q, k, v = fused_layer.fused_norm_dense(
+            h, lp["attn_norm"], (lp["q"], lp["k"], lp["v"]),
+            w_bits=c.w_bits, a_bits=c.a_bits, eps=c.rms_norm_eps,
+        )
+    else:
+        x = rms_norm(h, lp["attn_norm"], c.rms_norm_eps)
+        q = quant_dense(x, lp["q"], **qd)
+        k = quant_dense(x, lp["k"], **qd)
+        v = quant_dense(x, lp["v"], **qd)
 
     # KV-cache fake-quant at the reference's exact hook point: flat [b, s,
     # kv_dim], pre-reshape, pre-RoPE, pre-cache (modeling_llama_quant.py:320-333).
@@ -211,10 +291,25 @@ def decoder_layer(
     h = h + attn
 
     # --- MLP (modeling_llama_quant.py:200-235: down(silu(gate(x)) * up(x))) ---
-    x = rms_norm(h, lp["mlp_norm"], c.rms_norm_eps)
-    gate = quant_dense(x, lp["gate"], **qd)
-    up = quant_dense(x, lp["up"], **qd)
-    x = quant_dense(jax.nn.silu(gate) * up, lp["down"], **qd)
+    if use_fused_norm:
+        from llm_qat_tpu.ops import fused_layer
+
+        gate, up = fused_layer.fused_norm_dense(
+            h, lp["mlp_norm"], (lp["gate"], lp["up"]),
+            w_bits=c.w_bits, a_bits=c.a_bits, eps=c.rms_norm_eps,
+        )
+    else:
+        x = rms_norm(h, lp["mlp_norm"], c.rms_norm_eps)
+        gate = quant_dense(x, lp["gate"], **qd)
+        up = quant_dense(x, lp["up"], **qd)
+    if use_fused_norm and c.fused_silu_quant:
+        # opt-in: measured slower than XLA's up-matmul epilogue fusion on
+        # v5e at the canonical prefill shape (see config.fused_silu_quant)
+        x = fused_layer.fused_silu_mul_dense(
+            gate, up, lp["down"], w_bits=c.w_bits, a_bits=c.a_bits
+        )
+    else:
+        x = quant_dense(jax.nn.silu(gate) * up, lp["down"], **qd)
     return h + x, new_cache
 
 
