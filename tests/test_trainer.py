@@ -3,6 +3,7 @@ decreases over steps, grad-clip/optimizer wiring, sharded step runs."""
 
 import numpy as np
 import pytest
+import dataclasses
 import jax
 import jax.numpy as jnp
 
@@ -191,3 +192,66 @@ def test_trainer_chunked_kl_step_matches_unchunked():
     l0 = float(T.Trainer(CFG, tcfg0, copy(sp), tp).train_step(batch)["loss"])
     l1 = float(T.Trainer(CFG, tcfg1, copy(sp), tp).train_step(batch)["loss"])
     assert l1 == pytest.approx(l0, rel=1e-6)
+
+
+def test_sharded_train_step_fused_flash_layout_path():
+    """Regression: the round-5 fused flash-layout path (Pallas
+    rmsnorm_quant + layout einsums) must compose with the FSDP/data mesh
+    (Pallas custom calls under GSPMD). TINY_TEST's H=64 falls back to the
+    unfused path, so this uses an H=128 fused-capable config."""
+    from llm_qat_tpu.models.config import LlamaConfig
+    from llm_qat_tpu.parallel import mesh as pmesh
+
+    cfg = LlamaConfig(
+        vocab_size=256, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=64, w_bits=4, a_bits=8, kv_bits=4,
+    )
+    assert cfg.fused_norm_quant and cfg.use_flash_attention
+    mesh = pmesh.make_mesh(data=2, fsdp=4, tp=1)
+    tcfg = T.TrainConfig(total_steps=10, remat=True, compute_dtype=jnp.float32)
+    teacher = llama.init_params(
+        cfg.replace(w_bits=32, a_bits=32, kv_bits=32), jax.random.PRNGKey(0)
+    )
+    student = llama.init_params(cfg, jax.random.PRNGKey(1))
+    tr = T.Trainer(cfg, tcfg, student, teacher, mesh=mesh)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (16, 16), 0, 256)
+    m = tr.train_step({"input_ids": ids, "labels": ids})
+    assert bool(jnp.isfinite(m["loss"]))
+
+
+def test_fused_clip_adamw_matches_optax_chain():
+    """fused_clip_adamw (round 5, single-pass) must reproduce the optax
+    clip+adamw chain: same clip rule, moments, bias correction, schedule
+    indexing, weight decay."""
+    import numpy as np
+    import optax
+
+    tcfg = T.TrainConfig(
+        learning_rate=3e-3, total_steps=12, weight_decay=0.01,
+        max_grad_norm=0.5,
+    )
+    tx_f = T.make_optimizer(tcfg)
+    tx_o = T.make_optimizer(dataclasses.replace(tcfg, fused_optimizer=False))
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "a": jax.random.normal(key, (16, 32), jnp.float32),
+        "b": {"w": jax.random.normal(jax.random.fold_in(key, 1), (8,), jnp.float32)},
+    }
+    pf = po = params
+    sf, so = tx_f.init(pf), tx_o.init(po)
+    for i in range(10):
+        g = jax.tree.map(
+            lambda p: jax.random.normal(jax.random.fold_in(key, 100 + i), p.shape)
+            * (3.0 if i % 3 == 0 else 0.1),  # alternate clip-active/inactive
+            params,
+        )
+        uf, sf = tx_f.update(g, sf, pf)
+        pf = optax.apply_updates(pf, uf)
+        uo, so = tx_o.update(g, so, po)
+        po = optax.apply_updates(po, uo)
+    for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(po)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
