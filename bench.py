@@ -219,6 +219,56 @@ def main():
         "tok_per_s": round(db / t_dec, 1),
         "batch": db, "ctx_fill": fill,
     }
+
+    # reference-scale line (round 5): LLaMA-7B W4A8KV4 serving decode on
+    # the real chip — the geometry the reference's whole results table is
+    # about (README.md:45-54). Printed BEFORE the flagship decode so the
+    # driver's last line stays the TinyLlama series. Best-effort: any
+    # failure (cold Mosaic cache timeout, OOM) must not cost the lines
+    # already printed.
+    if on_tpu:
+        try:
+            del qparams, cache
+            from benchmarks.bench_7b import (
+                synth_qparams, synth_cache, decode_floor_bytes,
+            )
+            from llm_qat_tpu.models.config import LLAMA_7B
+            import functools as _ft
+
+            cfg7 = LLAMA_7B.replace(w_bits=4, a_bits=8, kv_bits=4)
+            qp7 = synth_qparams(cfg7, jax.random.PRNGKey(0))
+            c7 = synth_cache(cfg7, 8, 2048, 1024, jax.random.PRNGKey(1))
+            act7 = jnp.ones((8,), bool)
+
+            @_ft.partial(jax.jit, donate_argnums=(1,))
+            def step7(qp, cache, tok):
+                logits, cache = M.serving_forward(
+                    qp, cfg7, tok, cache["lengths"], act7, cache
+                )
+                return (jnp.argmax(logits[:, -1], -1)
+                        .astype(jnp.int32)[:, None]), cache
+
+            tok7 = jnp.ones((8, 1), jnp.int32)
+            tok7, c7 = step7(qp7, c7, tok7)
+            float(tok7.sum())
+            t0 = time.perf_counter()
+            for _ in range(48):
+                tok7, c7 = step7(qp7, c7, tok7)
+            float(tok7.sum())
+            t7 = (time.perf_counter() - t0) / 48
+            sol7 = decode_floor_bytes(cfg7, 8, 1024) / 819e9
+            print(json.dumps({
+                "metric": "llama7b_w4a8kv4_decode_ms_per_step",
+                "value": round(t7 * 1e3, 3),
+                "unit": "ms/step",
+                "vs_baseline": round(sol7 / t7, 4),
+                "tok_per_s": round(8 / t7, 1),
+                "batch": 8, "ctx_fill": 1024,
+            }), flush=True)
+            del qp7, c7
+        except Exception as e:  # noqa: BLE001
+            print(f"# 7b line skipped: {type(e).__name__}: {e}", flush=True)
+
     print(json.dumps(dec_rec), flush=True)
 
 

@@ -88,14 +88,28 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     # 16 MB scoped-vmem budget — configs that can't fit even at the
     # BK/KH/NC floors serve via the scan path instead of failing a long
     # Mosaic compile
-    if _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET:
+    if _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c):
         return False
     return True
 
 
 # Mosaic's scoped-vmem hard limit is 16 MiB; the estimate below overshoots
-# real usage by ~1 MiB at measured shapes, so budget slightly under
+# real usage by ~1 MiB at measured GQA shapes, so budget slightly under.
 _VMEM_BUDGET = 15_500_000
+# At UNBATCHED-softmax MHA-scale shapes (groups < 8, many kv heads) the
+# compiler allocates ~2.5 MiB more than the model (7B W8A8KV8 b=8 KH=2
+# NC=256: estimate 15.2M, Mosaic 17.75M — the per-head loop's tile padding
+# is under-modeled), so that class budgets stricter and the picker shrinks
+# KH/NC until the real allocation fits.
+_VMEM_BUDGET_UNBATCHED_MHA = 12_800_000
+
+
+def _budget(c: LlamaConfig) -> int:
+    groups = c.num_attention_heads // c.kv_heads
+    batched = groups % 8 == 0 and c.kv_heads > 1
+    if not batched and c.kv_heads >= 16:
+        return _VMEM_BUDGET_UNBATCHED_MHA
+    return _VMEM_BUDGET
 
 
 def _pad8(x: int) -> int:
@@ -191,10 +205,10 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
             bk //= 2
         kh = kvh
         if not c.megakernel_bk:
-            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET:
+            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c):
                 bk //= 2
         while (
-            _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET
+            _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c)
             and kh % 2 == 0 and kh > 1 and kh_ok(kh // 2)
         ):
             kh //= 2
@@ -211,7 +225,7 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
         nc = c.megakernel_nc
         bk, kh = auto_bk_kh(nc)
         if (g % nc == 0 and c.hidden_size // nc >= 2
-                and _vmem_estimate(c, b, max_len, nc, bk, kh) <= _VMEM_BUDGET):
+                and _vmem_estimate(c, b, max_len, nc, bk, kh) <= _budget(c)):
             return nc, bk, kh
         import warnings
         warnings.warn(
@@ -227,7 +241,7 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
     # if the BK/KH floors alone can't fit the budget, trade chunk width
     # for headroom: halving NC halves the weight double-buffers
     while (
-        _vmem_estimate(c, b, max_len, nc, bk, kh) > _VMEM_BUDGET
+        _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c)
         and nc > 128 and nc % 2 == 0 and c.hidden_size // (nc // 2) >= 2
     ):
         nc //= 2
