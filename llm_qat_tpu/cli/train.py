@@ -74,6 +74,7 @@ def run(
         # configs). Together these measured 1.7x on the full KD-QAT step.
         use_flash_attention=not training_args.no_flash_attention,
         fused_qat_matmul=not training_args.no_fused_qat_matmul,
+        fused_norm_quant=not training_args.no_fused_norm_quant,
     )
 
     teacher_params = None

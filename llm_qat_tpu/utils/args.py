@@ -70,6 +70,8 @@ class TrainingArguments:
     # fast paths (on by default; flags to fall back to the plain XLA paths)
     no_flash_attention: bool = False    # Pallas blockwise attention fwd+bwd
     no_fused_qat_matmul: bool = False   # int8-MXU fused fake-quant matmuls
+    no_fused_norm_quant: bool = False   # producer-fused norm+quant / flash-
+                                        # layout projections (round 5)
     # mesh layout (replaces torchrun/--fsdp flags, run_train.sh:8,42-43)
     mesh_data: int = 1
     mesh_fsdp: int = -1
