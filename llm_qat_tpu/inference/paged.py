@@ -36,7 +36,10 @@ _NEG_INF = -1e9
 
 @dataclasses.dataclass(frozen=True)
 class PagedConfig:
-    page_size: int = 64
+    # 128 on hardware: the paged kernel's per-token scale blocks are
+    # [.., page_size] and Mosaic requires >=128 lanes — page_size=64
+    # lowers only in interpret mode (found on real TPU, round 5).
+    page_size: int = 128
     n_pages: int = 256
     max_pages_per_seq: int = 32
 
@@ -197,7 +200,9 @@ def _paged_layer(
         if not post_rope:
             kf = llama.apply_rope(kf, qcos, qsin)
         attn = flash_attention(qh.astype(dtype), kf, vf)
-    elif s == 1 and c.use_decode_kernel:
+    elif s == 1 and c.use_decode_kernel and (
+        pcfg.page_size % 128 == 0 or DA._interpret()
+    ):
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
         attn = DA.quantized_paged_attention(
             qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables, kc, ksn,
