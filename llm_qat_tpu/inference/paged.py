@@ -180,14 +180,27 @@ def _paged_layer(
         krot = llama.apply_rope(k.reshape(b, s, kvh, hd), qcos, qsin)
         k = krot.reshape(b, s, kvh * hd)
 
-    k_q, k_s, fq_k = _write_pool(
-        k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis,
-        return_fq=True, packed=packed,
-    )
-    v_q, v_s, fq_v = _write_pool(
-        v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis,
-        return_fq=True, packed=packed,
-    )
+    # decode path (round 5): the pool is READ-ONLY inside the layer scan —
+    # the current pair rides the kernel's fold operands and the caller
+    # commits every layer's columns post-scan. Carrying the updated pool
+    # through the scan's ys cost ~32 ms/step of u8 layout copies (XLA
+    # assigns the carried pool a scatter-friendly layout, Pallas demands
+    # the default — DESIGN.md "Paged decode").
+    fold_decode = _paged_fold_capable(c, pcfg) and s == 1 and not flash_prefill
+    if fold_decode:
+        from llm_qat_tpu.inference.model import _quant_kv_cols
+
+        k_cols, k_inv = _quant_kv_cols(k, kvh, hd, kb, tp_axis)
+        v_cols, v_inv = _quant_kv_cols(v, kvh, hd, kb, tp_axis)
+    else:
+        k_q, k_s, fq_k = _write_pool(
+            k_q, k_s, k, write_pages, write_offsets, kvh, hd, kb, tp_axis,
+            return_fq=True, packed=packed,
+        )
+        v_q, v_s, fq_v = _write_pool(
+            v_q, v_s, v, write_pages, write_offsets, kvh, hd, kb, tp_axis,
+            return_fq=True, packed=packed,
+        )
 
     qh = q.reshape(b, s, nh, hd)
     qh = llama.apply_rope(qh, qcos, qsin)
@@ -200,12 +213,15 @@ def _paged_layer(
         if not post_rope:
             kf = llama.apply_rope(kf, qcos, qsin)
         attn = flash_attention(qh.astype(dtype), kf, vf)
-    elif s == 1 and c.use_decode_kernel and (
-        pcfg.page_size % 128 == 0 or DA._interpret()
-    ):
+    elif fold_decode:
         kc, ksn = rope_tables if rope_tables is not None else (None, None)
+        old_len = positions[:, 0]
         attn = DA.quantized_paged_attention(
-            qh[:, 0], k_q, k_s, v_q, v_s, new_len, block_tables, kc, ksn,
+            qh[:, 0], k_q, k_s, v_q, v_s, old_len, block_tables, kc, ksn,
+            fold=(
+                k_cols, k_inv, v_cols, v_inv, new_len > old_len,
+                qcos[:, 0, : hd // 2], qsin[:, 0, : hd // 2],
+            ),
             theta=c.rope_theta, rope=not post_rope, packed=packed,
         ).reshape(b, 1, nh * hd)
     else:
@@ -242,7 +258,42 @@ def _paged_layer(
         jax.nn.silu(gate) * up, lq["down"], c.w_bits, a_bits=c.a_bits, out_dtype=dtype,
         reduce_axis=tp_axis, n_chunks=nc,
     )
+    if fold_decode:
+        return h + x, (k_cols, k_inv, v_cols, v_inv)
     return h + x, (k_q, k_s, v_q, v_s)
+
+
+def _paged_fold_capable(c: LlamaConfig, pcfg: PagedConfig) -> bool:
+    return c.use_decode_kernel and (
+        pcfg.page_size % 128 == 0 or DA._interpret()
+    )
+
+
+def _commit_pool_columns(pool_q, pool_s, cols, invs, pages, offsets, packed):
+    """Scatter one quantized column per (layer, slot) into the shared page
+    pool — the single small write a paged decode step makes now that the
+    kernel folds the current pair (mirrors model.commit_kv_columns).
+
+    cols [L, b, kvh, hd] int8; invs [L, b, 1] f32; pages/offsets [b]."""
+    nq = cols
+    if packed:
+        from llm_qat_tpu.inference.model import _pack_nibbles
+
+        nq = _pack_nibbles(nq, axis=-1)                  # [L, b, kvh, hd/2]
+    # per-slot dynamic_update_slice instead of one advanced-index scatter:
+    # XLA's scatter assigns the 135 MB pool a different layout than the
+    # Pallas kernel's default and copies the WHOLE pool in and back out
+    # (~18 ms/step traced); b tiny in-place dus writes keep the layout
+    L, b, kvh, hdc = nq.shape
+    for i in range(b):
+        pool_q = jax.lax.dynamic_update_slice(
+            pool_q, nq[:, i].reshape(L, 1, kvh, hdc, 1),
+            (0, pages[i], 0, 0, offsets[i]),
+        )
+        pool_s = jax.lax.dynamic_update_slice(
+            pool_s, invs[:, i].reshape(L, 1, 1), (0, pages[i], offsets[i])
+        )
+    return pool_q, pool_s
 
 
 def _forward(
@@ -313,7 +364,23 @@ def _forward(
     layer_xs = (
         qparams["layers"], cache["k_q"], cache["k_s"], cache["v_q"], cache["v_s"],
     )
-    h, (k_q, k_s, v_q, v_s) = jax.lax.scan(body, h, layer_xs)
+    fold_decode = _paged_fold_capable(c, pcfg) and s == 1
+    h, ys = jax.lax.scan(body, h, layer_xs)
+    if fold_decode:
+        from llm_qat_tpu.inference.model import cache_is_packed
+
+        k_cols, k_invs, v_cols, v_invs = ys
+        packed = cache_is_packed(c)
+        wp = pages[:, 0]
+        wo = offsets[:, 0]
+        k_q, k_s = _commit_pool_columns(
+            cache["k_q"], cache["k_s"], k_cols, k_invs, wp, wo, packed
+        )
+        v_q, v_s = _commit_pool_columns(
+            cache["v_q"], cache["v_s"], v_cols, v_invs, wp, wo, packed
+        )
+    else:
+        k_q, k_s, v_q, v_s = ys
 
     h = llama.rms_norm(h, qparams["final_norm"], c.rms_norm_eps)
     head = qparams["embed"].T if "lm_head" not in qparams else qparams["lm_head"]

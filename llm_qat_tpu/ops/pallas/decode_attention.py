@@ -645,8 +645,12 @@ def quantized_decode_attention_stacked(
 
 def _paged_attn_kernel(lens_ref, bt_ref, *rest, **kw):
     # block-table indirection happens entirely in the index maps; the body
-    # only needs lengths
+    # only needs lengths (+ the fold active mask when folding)
     _decode_attn_kernel(lens_ref, *rest, **kw)
+
+
+def _paged_attn_kernel_fold(lens_ref, bt_ref, act_ref, *rest, **kw):
+    _decode_attn_kernel(lens_ref, act_ref, *rest, **kw)
 
 
 @functools.partial(jax.jit, static_argnames=("theta", "rope", "packed"))
@@ -660,6 +664,13 @@ def quantized_paged_attention(
     block_tables: jax.Array,  # [b, max_pages] int32 — logical page -> pool id
     k_cos: jax.Array = None,  # [hd/2, max_pages*P] f32 hoisted RoPE tables
     k_sin: jax.Array = None,  # (logical positions); None => in-kernel cos/sin
+    fold=None,                # optional current-token pair folded IN-KERNEL
+                              # (same tuple contract as
+                              # quantized_decode_attention: k_new [b,kvh,hd]
+                              # i8, k_inv [b,1] f32, v_new, v_inv,
+                              # active [b], q_cos [b,hd/2], q_sin);
+                              # with fold, ``lengths`` is PRE-append and the
+                              # pool is READ-ONLY
     *,
     theta: float = 10000.0,
     rope: bool = True,
@@ -683,11 +694,13 @@ def quantized_paged_attention(
     scale = 1.0 / (hd ** 0.5)
     tables = rope and k_cos is not None
 
+    do_fold = fold is not None
+
     def logical_clamp(ib, pg, lens):
         nv = jnp.maximum((lens[ib] + P - 1) // P, 1)
         return jnp.minimum(pg, nv - 1)
 
-    def page_of(ib, pg, lens, bt):
+    def page_of(ib, pg, lens, bt, *_):
         # SMEM allows scalar loads only (real-TPU lowering rule): index the
         # block table at [ib, pg'] directly rather than slicing row ib
         return bt[ib, logical_clamp(ib, pg, lens)]
@@ -695,28 +708,27 @@ def quantized_paged_attention(
     in_specs = [
         pl.BlockSpec(
             (1, kvh, groups, hd),
-            lambda ib, pg, lens, bt: (ib, 0, 0, 0),
+            lambda ib, pg, *_: (ib, 0, 0, 0),
         ),
         pl.BlockSpec(
             (1, kvh, hdc, P),
-            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
+            lambda ib, pg, lens, bt, *_: (page_of(ib, pg, lens, bt), 0, 0, 0),
         ),
         pl.BlockSpec(
             (1, 1, P),
-            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
+            lambda ib, pg, lens, bt, *_: (page_of(ib, pg, lens, bt), 0, 0),
         ),
         pl.BlockSpec(
             (1, kvh, hdc, P),
-            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0, 0),
+            lambda ib, pg, lens, bt, *_: (page_of(ib, pg, lens, bt), 0, 0, 0),
         ),
         pl.BlockSpec(
             (1, 1, P),
-            lambda ib, pg, lens, bt: (page_of(ib, pg, lens, bt), 0, 0),
+            lambda ib, pg, lens, bt, *_: (page_of(ib, pg, lens, bt), 0, 0),
         ),
     ]
+    prefetch = [lengths, block_tables]
     operands = [
-        lengths,
-        block_tables,
         q.reshape(b, kvh, groups, hd),
         k_q,
         k_s[:, None, :],
@@ -728,23 +740,52 @@ def quantized_paged_attention(
         # logical page (consistent with the K block's skip/clamp)
         tspec = pl.BlockSpec(
             (hd // 2, P),
-            lambda ib, pg, lens, bt: (0, logical_clamp(ib, pg, lens)),
+            lambda ib, pg, lens, bt, *_: (0, logical_clamp(ib, pg, lens)),
         )
         in_specs += [tspec, tspec]
         operands += [k_cos.astype(jnp.float32), k_sin.astype(jnp.float32)]
+    if do_fold:
+        k_new, k_inv, v_new, v_inv, active, q_cos, q_sin = fold
+        prefetch.append(active.astype(jnp.int32))
+
+        def bmap(ib, pg, *_):
+            return (ib, 0, 0)
+
+        in_specs += [
+            pl.BlockSpec((1, kvh, hd), lambda ib, pg, *_: (ib, 0, 0)),
+            pl.BlockSpec((1, 1, 1), bmap),
+            pl.BlockSpec((1, kvh, hd), lambda ib, pg, *_: (ib, 0, 0)),
+            pl.BlockSpec((1, 1, 1), bmap),
+        ]
+        operands += [
+            k_new.reshape(b, kvh, hd),
+            k_inv.reshape(b, 1, 1).astype(jnp.float32),
+            v_new.reshape(b, kvh, hd),
+            v_inv.reshape(b, 1, 1).astype(jnp.float32),
+        ]
+        if rope:
+            in_specs += [
+                pl.BlockSpec((1, 1, hd // 2), bmap),
+                pl.BlockSpec((1, 1, hd // 2), bmap),
+            ]
+            operands += [
+                q_cos.reshape(b, 1, hd // 2).astype(jnp.float32),
+                q_sin.reshape(b, 1, hd // 2).astype(jnp.float32),
+            ]
 
     grid = (b, max_pages)
     out = pl.pallas_call(
         functools.partial(
-            _paged_attn_kernel, bk=P, scale=scale, theta=float(theta),
-            rope=rope, tables=tables, packed=packed,
+            _paged_attn_kernel_fold if do_fold else _paged_attn_kernel,
+            bk=P, scale=scale, theta=float(theta),
+            rope=rope, tables=tables, packed=packed, fold=do_fold,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=len(prefetch),
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, kvh, groups, hd), lambda ib, pg, lens, bt: (ib, 0, 0, 0)
+                (1, kvh, groups, hd), lambda ib, pg, *_: (ib, 0, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((kvh, groups, 1), jnp.float32),
@@ -757,7 +798,7 @@ def quantized_paged_attention(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(*operands)
+    )(*prefetch, *operands)
     return out.reshape(b, nh, hd)
 
 
