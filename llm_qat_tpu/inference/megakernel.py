@@ -88,7 +88,7 @@ def supported(config: LlamaConfig, b: int, max_len: int) -> bool:
     # 16 MB scoped-vmem budget — configs that can't fit even at the
     # BK/KH/NC floors serve via the scan path instead of failing a long
     # Mosaic compile
-    if _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c):
+    if _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c, kh):
         return False
     return True
 
@@ -104,10 +104,14 @@ _VMEM_BUDGET = 15_500_000
 _VMEM_BUDGET_UNBATCHED_MHA = 12_800_000
 
 
-def _budget(c: LlamaConfig) -> int:
+def _budget(c: LlamaConfig, kh: int = 0) -> int:
+    # the per-head path's tile padding is under-modeled at MHA scale in
+    # BOTH attention modes (rep-batched KH=16 at 7B: estimate 12.95M,
+    # Mosaic 16.86M), so the whole shape class budgets stricter and the
+    # picker shrinks KH until the real allocation fits
+    del kh
     groups = c.num_attention_heads // c.kv_heads
-    batched = groups % 8 == 0 and c.kv_heads > 1
-    if not batched and c.kv_heads >= 16:
+    if groups < 8 and c.kv_heads >= 16:
         return _VMEM_BUDGET_UNBATCHED_MHA
     return _VMEM_BUDGET
 
@@ -139,10 +143,13 @@ def _vmem_estimate(c: LlamaConfig, b: int, max_len: int, nc: int, bk: int,
     hdc = hd // 2 if (c.kv_cache_pack and c.kv_bits <= 4) else hd
     kvbufs = 2 * 2 * b * kh * hdc * bk + 2 * 2 * b * bk * 4  # +k/v scales
     bm = max(32, -(-b // 8) * 8)
-    batched = groups % 8 == 0 and kvh > 1
+    rep = 8 if (groups == 1 and kh % 8 == 0) else 1
+    batched = (groups % 8 == 0 and kvh > 1) or rep > 1
     if batched:
-        ml = 2 * b * _pad8(nh) * 128 * 4
-        accq4 = 2 * b * _pad8(nh) * _pad128(hd) * 4
+        ge = groups * rep
+        nt = max(kvh // kh, 1)
+        ml = 2 * b * nt * _pad8(kh * ge) * 128 * 4
+        accq4 = (b * nt * _pad8(kh * ge) + b * _pad8(nh)) * _pad128(hd) * 4
     else:
         ml = 2 * b * kvh * _pad8(groups) * 128 * 4
         accq4 = 2 * b * kvh * _pad8(groups) * _pad128(hd) * 4
@@ -205,10 +212,10 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
             bk //= 2
         kh = kvh
         if not c.megakernel_bk:
-            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c):
+            while bk > 128 and _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c, kh):
                 bk //= 2
         while (
-            _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c)
+            _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c, kh)
             and kh % 2 == 0 and kh > 1 and kh_ok(kh // 2)
         ):
             kh //= 2
@@ -225,7 +232,7 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
         nc = c.megakernel_nc
         bk, kh = auto_bk_kh(nc)
         if (g % nc == 0 and c.hidden_size // nc >= 2
-                and _vmem_estimate(c, b, max_len, nc, bk, kh) <= _budget(c)):
+                and _vmem_estimate(c, b, max_len, nc, bk, kh) <= _budget(c, kh)):
             return nc, bk, kh
         import warnings
         warnings.warn(
@@ -241,7 +248,7 @@ def _pick_nc_bk(c: LlamaConfig, b: int, max_len: int) -> Tuple[int, int, int]:
     # if the BK/KH floors alone can't fit the budget, trade chunk width
     # for headroom: halving NC halves the weight double-buffers
     while (
-        _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c)
+        _vmem_estimate(c, b, max_len, nc, bk, kh) > _budget(c, kh)
         and nc > 128 and nc % 2 == 0 and c.hidden_size // (nc // 2) >= 2
     ):
         nc //= 2
@@ -321,7 +328,10 @@ def _kernel(
                    # per slot per block (requires groups % 8 == 0 so
                    # per-head sublane slices stay aligned) — cuts the VPU
                    # instruction count that bounds b>=16 (VERDICT r3 #7)
-    dtype,
+    rep: int = 1,  # MHA row replication: groups==1 heads replicate to 8
+                   # sublane rows so per-head slices stay 8-aligned and the
+                   # batched softmax applies at no extra VPU cost (round 5)
+    dtype=None,
 ):
     c = cfg
     L = c.num_hidden_layers
@@ -351,9 +361,10 @@ def _kernel(
     # aligned because batched_att requires groups % 8 == 0. The tile index
     # rides a leading dim so it may be dynamic.
     if batched_att:
+        ge = groups * rep
         def hidx(i, hh):
             t, r = hh // KH, hh % KH
-            return (i, t, slice(r * groups, (r + 1) * groups))
+            return (i, t, slice(r * ge, (r + 1) * ge))
     else:
         def hidx(i, hh):
             return (i, hh)
@@ -595,7 +606,7 @@ def _kernel(
             sin = ksin_ref[kb_idx]
         col = start + jax.lax.broadcasted_iota(jnp.int32, (groups, BK), 1)
         col_all = start + jax.lax.broadcasted_iota(
-            jnp.int32, (KH * groups, BK), 1
+            jnp.int32, (KH * groups * rep, BK), 1
         )
         for i in range(b):
             # a block past slot i's length contributes nothing — skipping it
@@ -642,14 +653,20 @@ def _kernel(
 
                 if batched_att:
                     # stage the TILE's scores, then ONE masked max/exp/sum
-                    # across the flattened (KH*groups) sublane dim — the
-                    # per-head VPU op count was the b>=16 bottleneck
+                    # across the flattened (KH*groups*rep) sublane dim —
+                    # the per-head VPU op count was the b>=16 bottleneck
                     # (DESIGN.md megakernel notes). m/l/acc carry a
                     # leading NT dim so the (dynamic) tile index stays on
-                    # an untiled dim.
+                    # an untiled dim. At MHA (groups=1, rep=8) each head's
+                    # query is replicated to 8 identical rows: slice
+                    # offsets become 8-aligned and the whole tile shares
+                    # one softmax update at no extra VPU cost.
+                    ge = groups * rep
                     for hh in range(KH):
                         q_ih = q4_ref[i, tile * KH + hh].astype(ct)
-                        s_scr[hh * groups:(hh + 1) * groups, :] = (
+                        if rep > 1:
+                            q_ih = jnp.broadcast_to(q_ih, (ge, q_ih.shape[-1]))
+                        s_scr[hh * ge:(hh + 1) * ge, :] = (
                             jax.lax.dot_general(
                                 q_ih, kr_of(hh), (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
@@ -657,8 +674,8 @@ def _kernel(
                         )
                     s = jnp.where(
                         col_all < lens[i],
-                        s_scr[0:KH * groups, :] * scale, _NEG_INF,
-                    )                                      # [KH*g, BK]
+                        s_scr[0:KH * ge, :] * scale, _NEG_INF,
+                    )                                      # [KH*ge, BK]
                     m_prev = m_ref[i, tile]                # [KH*g, 1]
                     l_prev = l_ref[i, tile]
                     m_blk = jnp.max(s, axis=-1, keepdims=True)
@@ -669,9 +686,9 @@ def _kernel(
                     l_ref[i, tile] = l_prev * alpha + jnp.sum(
                         p, axis=-1, keepdims=True
                     )
-                    pv = (p * vsl).astype(ct)              # [KH*g, BK]
+                    pv = (p * vsl).astype(ct)              # [KH*ge, BK]
                     for hh in range(KH):
-                        g0, g1 = hh * groups, (hh + 1) * groups
+                        g0, g1 = hh * ge, (hh + 1) * ge
                         acc_ref[i, tile, g0:g1] = (
                             acc_ref[i, tile, g0:g1] * alpha[g0:g1]
                             + jax.lax.dot_general(
@@ -744,6 +761,8 @@ def _kernel(
                 v_int[i:i + 1, hh * hd:(hh + 1) * hd].astype(ct) * vinv_i
             ).astype(jnp.float32)                          # [1, hd]
             qf = q4_ref[i, hh]                             # [groups, hd] f32
+            if batched_att and rep > 1:
+                qf = jnp.broadcast_to(qf, (groups * rep, qf.shape[-1]))
             s_cur = jax.lax.dot_general(
                 qf, k_fold, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -848,8 +867,12 @@ def decode_step(
     rope = c.kv_cache_rope != "post"
     groups_ = c.num_attention_heads // kvh
     # cross-head batched softmax (one masked max/exp/sum per slot per
-    # block): per-head sublane slices must land at multiples of 8
-    batched_att = groups_ % 8 == 0 and kvh > 1
+    # block): per-head sublane slices must land at multiples of 8. MHA
+    # (groups=1) batches by replicating each head's query to rep=8 rows —
+    # offsets align and the VPU cost is unchanged (round 5)
+    rep_ = 8 if (groups_ == 1 and KH % 8 == 0) else 1
+    batched_att = (groups_ % 8 == 0 and kvh > 1) or rep_ > 1
+    ge_ = groups_ * rep_
 
     h = jnp.take(qparams["embed"], input_ids[:, 0], axis=0).astype(dtype)
     positions = seq_lens[:, None]                          # [b, 1]
@@ -911,21 +934,21 @@ def decode_step(
             pltpu.VMEM((b, kvh, c.num_attention_heads // kvh, hd),
                        jnp.float32),                 # q4
             pltpu.VMEM(
-                (b, kvh // KH, KH * groups_, 1) if batched_att
+                (b, kvh // KH, KH * ge_, 1) if batched_att
                 else (b, kvh, groups_, 1),
                 jnp.float32,
             ),                                       # m
             pltpu.VMEM(
-                (b, kvh // KH, KH * groups_, 1) if batched_att
+                (b, kvh // KH, KH * ge_, 1) if batched_att
                 else (b, kvh, groups_, 1),
                 jnp.float32,
             ),                                       # l
             pltpu.VMEM(
-                (b, kvh // KH, KH * groups_, hd) if batched_att
+                (b, kvh // KH, KH * ge_, hd) if batched_att
                 else (b, kvh, groups_, hd),
                 jnp.float32,
             ),                                       # acc
-            pltpu.VMEM((KH * groups_, BK), jnp.float32),  # s_scr
+            pltpu.VMEM((KH * ge_, BK), jnp.float32),  # s_scr
             pltpu.VMEM(
                 (2, H // 2 if c.w_bits == 4 else H, NC),
                 jnp.uint8 if c.w_bits == 4 else jnp.int8,
@@ -953,7 +976,7 @@ def decode_step(
     w4 = c.w_bits == 4
     kernel = functools.partial(
         _kernel, cfg=c, b=b, BM=BM, NC=NC, BK=BK, KH=KH, rope=rope, w4=w4,
-        kv_pack=kv_pack, batched_att=batched_att, dtype=dtype,
+        kv_pack=kv_pack, batched_att=batched_att, rep=rep_, dtype=dtype,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((b, H), dtype),

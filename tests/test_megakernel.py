@@ -327,3 +327,41 @@ def test_megakernel_kv_head_tiling_matches_scan(monkeypatch, mode):
         np.testing.assert_array_equal(
             np.asarray(c_meg[key]), np.asarray(c_scan[key])
         )
+
+
+def test_megakernel_mha_rep_batched_matches_scan():
+    """MHA with KH % 8 == 0 routes through the row-replicated batched
+    softmax (rep=8, round 5): each head's query replicates to 8 sublane
+    rows so the whole tile shares one masked max/exp/sum. Parity against
+    the scan path at a shape where the path actually engages."""
+    from llm_qat_tpu.inference import megakernel as MK
+
+    cfg = TINY_TEST.replace(
+        hidden_size=512, intermediate_size=512,
+        num_attention_heads=8, num_key_value_heads=8,  # MHA, kvh=8
+        w_bits=4, a_bits=8, kv_bits=4,
+        use_megakernel=False,
+    )
+    nc, bk, kh = MK._pick_nc_bk(cfg, 2, 32)
+    assert kh % 8 == 0, (nc, bk, kh)  # rep path must engage
+    params = llama.init_params(cfg, jax.random.PRNGKey(11))
+    qparams = Q.quantize_params(params, cfg)
+    b, max_len = 2, 32
+    cache = _prefilled(cfg, qparams, b, max_len, [9, 17])
+
+    tok = jax.random.randint(jax.random.PRNGKey(12), (b, 1), 0, cfg.vocab_size)
+    active = jnp.ones((b,), bool)
+    lg_scan, c_scan = M.serving_forward(
+        qparams, cfg, tok, cache["lengths"], active, cache, dtype=jnp.float32
+    )
+    cache2 = _prefilled(cfg, qparams, b, max_len, [9, 17])
+    lg_meg, c_meg = M.serving_forward(
+        qparams, cfg.replace(use_megakernel=True), tok, cache["lengths"],
+        active, cache2, dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lg_meg), np.asarray(lg_scan), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c_meg["k_q"]), np.asarray(c_scan["k_q"])
+    )
