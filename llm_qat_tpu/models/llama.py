@@ -424,12 +424,14 @@ def backbone(
             == (jnp.arange(s)[None, :] < flash_lengths[:, None])
         )
         if isinstance(is_prefix, jax.core.Tracer):
-            # debug callbacks are best-effort (can surface asynchronously /
-            # be swallowed on some backends — ADVICE r3), so the callback
-            # is only the *readable* error; the hard guarantee is a NaN
-            # sentinel folded into the hidden state below: a non-prefix
-            # mask can never silently produce wrong-but-finite logits.
-            jax.debug.callback(_check_prefix_mask, is_prefix)
+            # the guarantee is a NaN sentinel folded into the hidden state:
+            # a non-prefix mask can never silently produce wrong-but-finite
+            # logits (the --debug_nans sanitizer or any loss check trips on
+            # it; see _check_prefix_mask for the failure explanation). A
+            # jax.debug.callback used to ALSO raise the readable error, but
+            # host callbacks are unsupported on the axon TPU runtime
+            # (UNIMPLEMENTED at execute time) and best-effort/swallowed
+            # elsewhere (ADVICE r3), so the sentinel is the contract.
             h = h + jnp.where(is_prefix, 0.0, jnp.nan).astype(h.dtype)
         elif not bool(is_prefix):
             use_flash = False
