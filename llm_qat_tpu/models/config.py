@@ -78,6 +78,13 @@ class LlamaConfig:
     # symmetric per-channel/per-token configs (ops/linear.py:46-55) and
     # falls back to the XLA fake-quant chain otherwise.
     fused_qat_matmul: bool = True      # int8-MXU fused fake-quant matmul (QAT fwd)
+    # Flag-gated NUMERICS DEVIATION (default off — the reference specifies
+    # fp32 softmax, modeling_llama_quant.py:372-375): evaluate the flash
+    # kernel's forward exp2 on bf16 operands. The kernel is
+    # transcendental-bound at prefill shapes (DESIGN.md prefill study);
+    # max/l/acc stay fp32 and the backward recompute stays fp32, so the
+    # deviation is <=2^-8 relative rounding of the forward probabilities.
+    flash_softmax_bf16: bool = False
     # Producer-fused activation quantization (round 5): RMSNorm+quant runs
     # as a single-pass Pallas kernel feeding the int8 matmuls, so the bf16
     # normed activation never round-trips HBM between the norm and its

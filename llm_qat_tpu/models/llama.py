@@ -231,6 +231,7 @@ def decoder_layer(
             k4.reshape(b * kvh, s, hd),
             v4.reshape(b * kvh, s, hd),
             lens_B,
+            512, 1024, c.flash_softmax_bf16,
         )
         attn = fused_layer.fused_attn_out_dense(
             out.reshape(b, kvh, groups, s, hd), lp["o"],
@@ -284,7 +285,10 @@ def decoder_layer(
     if use_flash and cache_kv is None:
         from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
 
-        attn = flash_attention(q, k, v, lengths=flash_lengths)
+        attn = flash_attention(
+            q, k, v, lengths=flash_lengths,
+            softmax_bf16=c.flash_softmax_bf16,
+        )
     else:
         attn = _attend(q, k, v, mask)
     attn = quant_dense(attn, lp["o"], **qd)

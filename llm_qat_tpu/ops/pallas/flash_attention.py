@@ -94,6 +94,7 @@ def _last_live_kv(iq: jax.Array, length: jax.Array, bq: int, bk: int,
 def _flash_fwd_kernel(
     lens_ref, q_ref, kt_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     *, bq: int, bk: int, scale: float, nk: int, causal: bool = True,
+    soft_bf16: bool = False,
 ):
     ib, iq, kb = pl.program_id(0), pl.program_id(2), pl.program_id(3)
     length = lens_ref[ib]
@@ -138,11 +139,21 @@ def _flash_fwd_kernel(
         m_blk = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         alpha = jnp.exp2(m - m_new)
-        p = jnp.exp2(s - m_new)
+        if soft_bf16:
+            # flag-gated deviation from the reference's fp32 softmax
+            # (config.flash_softmax_bf16): the kernel is transcendental-
+            # bound and exp2 is evaluated on bf16 operands; max/l/acc
+            # stay fp32, so only the probabilities round (<=2^-8 rel)
+            p16 = jnp.exp2((s - m_new).astype(jnp.bfloat16))
+            p = p16.astype(jnp.float32)
+            pv = p16.astype(v.dtype)
+        else:
+            p = jnp.exp2(s - m_new)
+            pv = p.astype(v.dtype)
         m_scr[:] = m_new
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            pv, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -154,8 +165,11 @@ def _flash_fwd_kernel(
         lse_ref[0, 0, 0] = (m_scr[:] * _LN2 + jnp.log(l))[:, 0]
 
 
-@functools.partial(jax.jit, static_argnames=("bq", "bk", "causal"))
-def _flash_fwd(q, k, v, lengths, bq: int, bk: int, causal: bool = True):
+@functools.partial(
+    jax.jit, static_argnames=("bq", "bk", "causal", "soft_bf16")
+)
+def _flash_fwd(q, k, v, lengths, bq: int, bk: int, causal: bool = True,
+               soft_bf16: bool = False):
     """q: [B, G, S, D]; k/v: [B, S, D]; lengths [B] (causal within each S).
     Returns ([B, G, S, D], lse [B, G, 1, S])."""
     B, G, S, D = q.shape
@@ -177,7 +191,8 @@ def _flash_fwd(q, k, v, lengths, bq: int, bk: int, causal: bool = True):
 
     return pl.pallas_call(
         functools.partial(
-            _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, nk=nk, causal=causal
+            _flash_fwd_kernel, bq=bq, bk=bk, scale=scale, nk=nk,
+            causal=causal, soft_bf16=soft_bf16,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -460,18 +475,19 @@ def _naive_attention(q, k, v):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def flash_attention_gqa(q, k, v, lengths, bq: int = 512, bk: int = 1024):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention_gqa(q, k, v, lengths, bq: int = 512, bk: int = 1024,
+                        soft_bf16: bool = False):
     """Causal flash attention: q ``[B, G, S, D]``, k/v ``[B, S, D]`` where
     ``B = batch*kv_heads`` and ``G`` is the GQA group size; ``lengths``
     ``[B]`` int32 masks columns ``>= length`` (pass ``S`` for no padding).
     Backward is the dedicated blockwise kernel pair (dq; dk/dv) driven by
     the saved log-sum-exp — no O(S²) tensor is ever materialized in HBM."""
-    return _flash_fwd(q, k, v, lengths, bq, bk)[0]
+    return _flash_fwd(q, k, v, lengths, bq, bk, soft_bf16=soft_bf16)[0]
 
 
-def _fa_fwd(q, k, v, lengths, bq, bk):
-    o, lse = _flash_fwd(q, k, v, lengths, bq, bk)
+def _fa_fwd(q, k, v, lengths, bq, bk, soft_bf16=False):
+    o, lse = _flash_fwd(q, k, v, lengths, bq, bk, soft_bf16=soft_bf16)
     # named so a remat policy can save the kernel's residuals and skip the
     # flash forward recompute in the backward pass (models.llama.backbone's
     # remat_policy="save_attn")
@@ -480,7 +496,9 @@ def _fa_fwd(q, k, v, lengths, bq, bk):
     return o, (q, k, v, lengths, o, lse)
 
 
-def _fa_bwd(bq, bk, res, g):
+def _fa_bwd(bq, bk, soft_bf16, res, g):
+    # backward keeps the fp32 recompute regardless: the bf16-softmax flag
+    # trades <=2^-8 relative p rounding in the FORWARD only
     q, k, v, lengths, o, lse = res
     dq, dk, dv = _flash_bwd(q, k, v, lengths, o, lse, g, bq, bk)
     return dq, dk, dv, None
@@ -504,6 +522,7 @@ def flash_attention(
     lengths: jax.Array = None,  # [b] int32 valid prefix per sequence
     bq: int = 512,
     bk: int = 1024,
+    softmax_bf16: bool = False,  # flag-gated: bf16 exp2 operands
 ) -> jax.Array:
     """Model-layout wrapper: GQA via the kernel's group dim — K/V are
     never repeated (head h reads kv head ``h // groups``, matching
@@ -530,7 +549,8 @@ def flash_attention(
         lens_B = jnp.full((b * kvh,), s, jnp.int32)
     else:
         lens_B = jnp.repeat(lengths.astype(jnp.int32), kvh)
-    out = flash_attention_gqa(q4, fold(k), fold(v), lens_B, bq_eff, bk_eff)
+    out = flash_attention_gqa(q4, fold(k), fold(v), lens_B, bq_eff,
+                              bk_eff, softmax_bf16)
     # [b*kvh, g, s, d] -> [b, s, nh*d]
     return (
         out.reshape(b, kvh, groups, s, d)

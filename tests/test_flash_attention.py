@@ -116,3 +116,20 @@ def test_flash_length_zero_row_is_finite():
     v = jnp.asarray(rng.standard_normal((b, s, h, d)).astype(np.float32))
     out = FA.flash_attention(q, k, v, lengths=jnp.asarray([0, 32]), bq=16, bk=16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flash_softmax_bf16_close_to_fp32():
+    """Flag-gated bf16-softmax variant (config.flash_softmax_bf16): the
+    forward probabilities round at bf16 (<=2^-8 rel); outputs must stay
+    close to the fp32-softmax kernel."""
+    import numpy as np
+    from llm_qat_tpu.ops.pallas.flash_attention import flash_attention
+
+    B, S, NH, D = 2, 256, 4, 32
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, NH, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, 2, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, 2, D), jnp.float32)
+    a = np.asarray(flash_attention(q, k, v))
+    b = np.asarray(flash_attention(q, k, v, softmax_bf16=True))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)
+    assert not np.array_equal(a, b)  # the flag actually changes the path
