@@ -111,6 +111,16 @@ def _shrink_to_vmem(
     QAT-forward shape class (M=b*s, f32 out) on v5e. ``x_tiles`` is 2 for
     the int4 kernel (low/high half activation tiles)."""
     budget = 27 * 2 ** 19  # 13.5MB
+    if x_tiles == 2:
+        # int4 path: Mosaic's real allocation runs ~2x this usage model
+        # (13B qkv, M=8192 K=5120 N=15360: model 8.39M, Mosaic 16.02M —
+        # 24KB OVER the limit; round 5). Shapes whose N divides by 1024
+        # are the only ones the looser budget let pick the oversized bn
+        # (7B's N=22016 falls to bn=512 on divisibility alone), so the
+        # int4 class budgets under that pick's usage and takes one more
+        # bk halving there; every previously-compiling shape keeps its
+        # tiles (their usage is <= 6.3M).
+        budget = 8 * 2 ** 20
 
     def usage(bm, bn, bk):
         return (
